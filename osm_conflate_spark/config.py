@@ -1,0 +1,96 @@
+"""Profile-equivalent configuration.
+
+Reference: ``conflate/profile.py :: class Profile`` (SURVEY.md §3 SRC1) —
+the reference ``exec``s a Python profile file into a namespace and reads
+keys through ``Profile.get``.  Here the profile is a plain frozen
+dataclass built on the driver and broadcast implicitly through task
+closures; no executor-side ``exec`` ever happens.
+
+Keys mirror the reference profile keys documented in the public
+osm_conflate README: ``dataset_id``, ``max_distance``,
+``duplicate_distance``, ``master_tags``, ``delete_unmatched``,
+``tag_unmatched``, ``query``, ``categories``, ``transform``.
+Engine-only keys (cell/tile/matching internals) are grouped at the end.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+
+# A profile `query` is a list of tag clauses applied to the OSM side (F1).
+# Clause forms (re-expression of the reference's Overpass tag clauses):
+#   ("amenity", "=", "fuel")     -> tags['amenity'] == 'fuel'
+#   ("amenity", "~", "fuel")     -> 'fuel' is a substring of tags['amenity']
+#   ("amenity", None, None)      -> key exists
+# Clauses within the list AND together (same as one Overpass selector chain).
+QueryClause = tuple[str, Optional[str], Optional[str]]
+
+
+@dataclass(frozen=True)
+class ConflateConfig:
+    # --- reference profile keys -------------------------------------------
+    dataset_id: str = "test"
+    #: match radius in meters (reference default 100 m, SURVEY §3 J1)
+    max_distance: float = 100.0
+    #: dataset self-duplicate collapse radius (reference D2)
+    duplicate_distance: float = 1.0
+    #: dataset tags that overwrite OSM values on merge (X2)
+    master_tags: frozenset = frozenset({"name", "opening_hours"})
+    #: unmatched previously-conflated OSM objects: delete vs retag (J5)
+    delete_unmatched: bool = True
+    #: key-rename map applied on retag, e.g. {'amenity': 'disused:amenity'}
+    tag_unmatched: tuple = (("amenity", "disused:amenity"),)
+    #: OSM-side tag filter clauses (F1); empty = keep all
+    query: tuple = ()
+    #: per-category extra tags: {category: {tag: value}} (F3)
+    categories: tuple = ()
+    #: dataset transform DSL (F2): {tag: rule}; rule is a constant string,
+    #: '-' prefix = delete tag, '+' prefix = set only if absent,
+    #: or a callable str->str (applied via vectorized pandas UDF).
+    transform: tuple = ()
+
+    # --- engine-only knobs -------------------------------------------------
+    #: matched nodes farther than this from the dataset point are moved (X3)
+    position_tolerance: float = 0.1
+    #: spatial grid cell size in meters; must be >= max_distance (S1)
+    cell_m: float = 200.0
+    #: super-block edge in cells for the match kernel grouping (§8.4)
+    block_cells: int = 32
+    #: pairs-per-kernel-group cap before salting kicks in (skew guard)
+    salt_cap_pairs: int = 2_000_000
+    #: z level for the raster summary tile layer (X8)
+    tile_zoom: int = 12
+    #: max outer rounds of the distributed greedy fixed point (safety valve)
+    max_match_rounds: int = 64
+
+    @property
+    def ref_key(self) -> str:
+        """``'ref:' + dataset_id`` — stamped on created/matched objects
+        and used to find previously-conflated OSM points (SURVEY §2.4)."""
+        return "ref:" + self.dataset_id
+
+    @property
+    def tag_unmatched_dict(self) -> dict:
+        return dict(self.tag_unmatched)
+
+    @property
+    def categories_dict(self) -> dict:
+        return {k: dict(v) for k, v in self.categories}
+
+    @property
+    def transform_dict(self) -> dict:
+        return dict(self.transform)
+
+    def __post_init__(self) -> None:
+        if self.cell_m < self.max_distance:
+            raise ValueError(
+                f"cell_m ({self.cell_m}) must be >= max_distance "
+                f"({self.max_distance}) for k-ring-1 neighbor completeness"
+            )
+        if self.duplicate_distance > self.max_distance:
+            raise ValueError("duplicate_distance must be <= max_distance")
+
+
+DEFAULT_CONFIG = ConflateConfig()

@@ -1,0 +1,164 @@
+"""Geospatial functions: distance X1, cell index S1, k-ring, z tiles X8.
+
+Every function exists in two twin forms that MUST stay in lockstep:
+
+* a Spark ``Column`` built via ``F.expr`` from :mod:`sqlgen` templates
+  (JVM-side, whole-stage-codegen friendly, used on the hot path), and
+* a vectorized numpy form (used inside the applyInPandas match kernel
+  and by the pure-Python oracle / brute-force tests).
+
+Reference parity: ``conflate/data.py :: distance`` (SURVEY §2.3) — the
+equirectangular approximation with R=6378137 is reproduced exactly; the
+kd-tree (SURVEY §3 J1) is replaced by the cell grid + k-ring-1 neighbor
+expansion (SURVEY §8.3), which preserves the kd-tree's only invariant:
+*every pair within max_distance is examined*.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from . import sqlgen
+from .sqlgen import CELL_SHIFT, EARTH_R, M_PER_DEG
+
+__all__ = [
+    "EARTH_R",
+    "M_PER_DEG",
+    "distance_col",
+    "distance_np",
+    "cell_col",
+    "cell_np",
+    "kring_col",
+    "kring_np",
+    "tile_cols",
+    "tile_np",
+]
+
+
+# ---------------------------------------------------------------------------
+# distance (X1)
+# ---------------------------------------------------------------------------
+
+def distance_col(lat1: str, lon1: str, lat2: str, lon2: str) -> Column:
+    return F.expr(sqlgen.distance_sql(lat1, lon1, lat2, lon2))
+
+
+def distance_np(lat1, lon1, lat2, lon2):
+    """Vectorized equirectangular distance in meters (float64)."""
+    lat1 = np.asarray(lat1, dtype=np.float64)
+    lon1 = np.asarray(lon1, dtype=np.float64)
+    lat2 = np.asarray(lat2, dtype=np.float64)
+    lon2 = np.asarray(lon2, dtype=np.float64)
+    dx = np.radians(lon1 - lon2) * np.cos(0.5 * np.radians(lat1 + lat2))
+    dy = np.radians(lat1 - lat2)
+    return EARTH_R * np.sqrt(dx * dx + dy * dy)
+
+
+# ---------------------------------------------------------------------------
+# cell grid (S1)
+# ---------------------------------------------------------------------------
+
+def _band_np(lat, cell_m: float):
+    h = sqlgen.band_height_deg(cell_m)
+    nb = sqlgen.n_bands(cell_m)
+    b = np.floor((np.asarray(lat, dtype=np.float64) + 90.0) / h).astype(np.int64)
+    return np.clip(b, 0, nb - 1)
+
+
+def _ncols_np(band, cell_m: float):
+    h = sqlgen.band_height_deg(cell_m)
+    band = np.asarray(band, dtype=np.int64)
+    lo = np.abs(-90.0 + band * h)
+    hi = np.abs(-90.0 + (band + 1) * h)
+    edge = np.minimum(np.maximum(lo, hi), 90.0)
+    nc = np.floor(360.0 * M_PER_DEG * np.cos(np.radians(edge)) / cell_m).astype(np.int64)
+    return np.maximum(nc, 1)
+
+
+def _col_np(lon, ncols):
+    lon = np.asarray(lon, dtype=np.float64)
+    c = np.floor(((lon + 180.0) / 360.0) * ncols).astype(np.int64)
+    return np.clip(c, 0, ncols - 1)
+
+
+def cell_np(lat, lon, cell_m: float):
+    b = _band_np(lat, cell_m)
+    nc = _ncols_np(b, cell_m)
+    return b * CELL_SHIFT + _col_np(lon, nc)
+
+
+def cell_col(lat: str, lon: str, cell_m: float) -> Column:
+    return F.expr(sqlgen.cell_sql(lat, lon, cell_m))
+
+
+def kring_np(lat, lon, cell_m: float):
+    """Per-point array of <=9 distinct neighbor-cell ids (list of np arrays).
+
+    Guarantee: for any two points p, q with distance(p, q) <= cell_m,
+    cell(q) is in kring(p) (proved in tests by brute force).
+    """
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    nb = sqlgen.n_bands(cell_m)
+    own_band = _band_np(lat, cell_m)
+    out = []
+    cells = np.empty((len(lat), 9), dtype=np.int64)
+    k = 0
+    for db in (-1, 0, 1):
+        band = np.clip(own_band + db, 0, nb - 1)
+        nc = _ncols_np(band, cell_m)
+        c0 = _col_np(lon, nc)
+        for dc in (-1, 0, 1):
+            cells[:, k] = band * CELL_SHIFT + (c0 + dc + nc) % nc
+            k += 1
+    for i in range(len(lat)):
+        out.append(np.unique(cells[i]))
+    return out
+
+
+def kring_sql(lat: str, lon: str, cell_m: float) -> str:
+    """SQL expression producing an array of distinct neighbor cell ids."""
+    nb = sqlgen.n_bands(cell_m)
+    own_band = sqlgen.band_sql(lat, cell_m)
+    exprs = []
+    for db in (-1, 0, 1):
+        band = (
+            f"least(greatest(({own_band}) + ({db}), cast(0 as bigint)), "
+            f"cast({nb - 1} as bigint))"
+        )
+        nc = sqlgen.ncols_sql(band, cell_m)
+        c0 = sqlgen.col_sql(lon, nc)
+        for dc in (-1, 0, 1):
+            col = f"((({c0}) + ({dc}) + ({nc})) % ({nc}))"
+            exprs.append(sqlgen.cell_id_sql(band, col))
+    return "array_distinct(array(" + ", ".join(exprs) + "))"
+
+
+def kring_col(lat: str, lon: str, cell_m: float) -> Column:
+    return F.expr(kring_sql(lat, lon, cell_m))
+
+
+# ---------------------------------------------------------------------------
+# slippy tiles (X8)
+# ---------------------------------------------------------------------------
+
+def tile_cols(lat: str, lon: str, zoom: int) -> tuple[Column, Column]:
+    return (
+        F.expr(sqlgen.tile_x_sql(lon, zoom)),
+        F.expr(sqlgen.tile_y_sql(lat, zoom)),
+    )
+
+
+def tile_np(lat, lon, zoom: int):
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    n = 1 << zoom
+    x = np.clip(np.floor((lon + 180.0) / 360.0 * float(n)).astype(np.int64), 0, n - 1)
+    rad = np.radians(lat)
+    y = np.floor((1.0 - np.log(np.tan(rad) + 1.0 / np.cos(rad)) / math.pi) / 2.0 * float(n))
+    y = np.clip(y.astype(np.int64), 0, n - 1)
+    return x, y

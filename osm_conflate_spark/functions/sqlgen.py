@@ -1,0 +1,131 @@
+"""Shared SQL expression templates.
+
+The SAME template string is used to build the Spark column
+(``F.expr(template)``) and the DuckDB oracle SQL.  Textual identity of
+the arithmetic keeps the two engines' float64 results bit-aligned
+(both follow IEEE-754 and ANSI semantics for ``floor/cos/ln/sqrt/pow``),
+which is what the driver's value-hash comparison needs.
+
+Only portable constructs are used: ``radians cos sqrt pow floor ln tan
+abs least greatest cast %``.  ``floor`` returns BIGINT in Spark but
+DOUBLE in DuckDB, so every floor is wrapped in ``CAST(... AS BIGINT)``.
+
+Geometry reference: SURVEY.md §2.3 (distance X1), §8.3 (cell scheme S1),
+§3.8 X8 (z12 tiles).  The reference implementation being mirrored is
+``conflate/data.py :: distance`` (equirectangular, R=6378137).
+"""
+
+from __future__ import annotations
+
+import math
+
+EARTH_R = 6378137.0
+M_PER_DEG = EARTH_R * math.pi / 180.0  # 111319.49079327358
+
+
+def distance_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Equirectangular distance in meters — bit-compatible with the
+    reference ``conflate/data.py :: distance`` (SURVEY §2.3)."""
+    return (
+        f"{EARTH_R!r} * sqrt("
+        f"pow(radians(({lon1}) - ({lon2})) * cos(0.5 * radians(({lat1}) + ({lat2}))), 2)"
+        f" + pow(radians(({lat1}) - ({lat2})), 2))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cell grid (S1): equirectangular grid, band height = cell_m meters,
+# per-band column count chosen so column width >= cell_m meters everywhere
+# in the band.  cell id = band * 2^32 + col.  (SURVEY §8.3)
+# ---------------------------------------------------------------------------
+
+def band_height_deg(cell_m: float) -> float:
+    return cell_m / M_PER_DEG
+
+
+def n_bands(cell_m: float) -> int:
+    return int(math.ceil(180.0 / band_height_deg(cell_m)))
+
+
+def band_sql(lat: str, cell_m: float) -> str:
+    h = band_height_deg(cell_m)
+    nb = n_bands(cell_m)
+    return (
+        f"least(greatest(cast(floor((({lat}) + 90.0) / {h!r}) as bigint), "
+        f"cast(0 as bigint)), cast({nb - 1} as bigint))"
+    )
+
+
+def ncols_sql(band: str, cell_m: float) -> str:
+    """Columns in a band: width >= cell_m meters at the band's
+    pole-nearest edge (worst case), so k-ring-1 is neighbor-complete."""
+    h = band_height_deg(cell_m)
+    # pole-nearest edge latitude of the band, capped at 90
+    edge = (
+        f"least(greatest(abs(-90.0 + ({band}) * {h!r}), "
+        f"abs(-90.0 + (({band}) + 1) * {h!r})), 90.0)"
+    )
+    return (
+        f"greatest(cast(floor(360.0 * {M_PER_DEG!r} * cos(radians({edge})) / {cell_m!r}) "
+        f"as bigint), cast(1 as bigint))"
+    )
+
+
+def col_sql(lon: str, ncols: str) -> str:
+    return (
+        f"least(greatest(cast(floor(((({lon}) + 180.0) / 360.0) * ({ncols})) as bigint), "
+        f"cast(0 as bigint)), ({ncols}) - 1)"
+    )
+
+
+CELL_SHIFT = 4294967296  # 2^32
+
+
+def cell_id_sql(band: str, col: str) -> str:
+    return f"(({band}) * cast({CELL_SHIFT} as bigint) + ({col}))"
+
+
+def cell_sql(lat: str, lon: str, cell_m: float) -> str:
+    """Full (lat,lon) -> int64 cell id expression."""
+    b = band_sql(lat, cell_m)
+    nc = ncols_sql(b, cell_m)
+    c = col_sql(lon, nc)
+    return cell_id_sql(b, c)
+
+
+# ---------------------------------------------------------------------------
+# z-level slippy tiles (X8)
+# ---------------------------------------------------------------------------
+
+def tile_x_sql(lon: str, zoom: int) -> str:
+    n = 1 << zoom
+    return (
+        f"least(greatest(cast(floor((({lon}) + 180.0) / 360.0 * {n}.0) as bigint), "
+        f"cast(0 as bigint)), cast({n - 1} as bigint))"
+    )
+
+
+def tile_y_sql(lat: str, zoom: int) -> str:
+    # asinh(tan(phi)) written as ln(tan(phi) + 1/cos(phi)) — DuckDB has no asinh.
+    n = 1 << zoom
+    asinh_tan = f"ln(tan(radians({lat})) + 1.0 / cos(radians({lat})))"
+    return (
+        f"least(greatest(cast(floor((1.0 - {asinh_tan} / pi()) / 2.0 * {n}.0) as bigint), "
+        f"cast(0 as bigint)), cast({n - 1} as bigint))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic point derivation (used by __spark_entry__ queries
+# so Spark and the DuckDB oracle compute identical point clouds from the
+# shared TPC-H-ish tables — no external data).
+# ---------------------------------------------------------------------------
+
+def derived_lat_sql(key: str) -> str:
+    """key (BIGINT) -> latitude in [-60, 60) via integer arithmetic."""
+    return f"((((({key}) * 7919 + 13) % 1200000) + 1200000) % 1200000) / 10000.0 - 60.0"
+
+
+def derived_lon_sql(key: str) -> str:
+    """key (BIGINT) -> longitude in [-180, 180)."""
+    return f"((((({key}) * 104729 + 7) % 3600000) + 3600000) % 3600000) / 10000.0 - 180.0"

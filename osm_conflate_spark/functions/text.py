@@ -1,0 +1,124 @@
+"""Text-analysis functions for the training-data pipeline: token
+counting, quality scoring, language id, document fingerprinting.
+
+All expressed as portable SQL templates so the SAME text feeds the
+Spark column (``F.expr``) and the DuckDB oracle — see
+:mod:`.sqlgen` for the rationale.  Portability notes: only
+``split/lower/length/regexp_replace/greatest/least/round`` and basic
+arithmetic are used; Spark's ``split`` takes a regex while DuckDB's
+``string_split`` takes a literal — both sides split on a single space
+(documents in the test tables are single-space tokenized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Per-language stopword marker sets for the n-gram/stopword heuristic
+# language id (small on purpose; the *operator shape* is what matters).
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "und", "die", "das", "ist"],
+    "fr": ["le", "et", "les", "des", "est"],
+    "es": ["el", "y", "los", "de", "es"],
+    "ru": ["i", "v", "na", "ne", "eto"],
+}
+
+
+def tokens_sql(text: str) -> str:
+    """Spark-side token array (regex split). Not DuckDB-portable."""
+    return f"filter(split({text}, ' '), x -> x != '')"
+
+
+def token_count_spark(text: str) -> Column:
+    return F.expr(f"size({tokens_sql(text)})")
+
+
+def token_count_duck(text: str) -> str:
+    return f"len(list_filter(string_split({text}, ' '), x -> x != ''))"
+
+
+# --- quality score: portable arithmetic over lengths -----------------------
+
+def _quality_parts(text: str, engine: str) -> dict:
+    """Shared building blocks; regexp_replace semantics match in both."""
+    n_chars = f"length({text})"
+    n_alpha = f"length(regexp_replace({text}, '[^a-zA-Z]', '', 'g'))" if engine == "duck" \
+        else f"length(regexp_replace({text}, '[^a-zA-Z]', ''))"
+    n_space = f"length(regexp_replace({text}, '[^ ]', '', 'g'))" if engine == "duck" \
+        else f"length(regexp_replace({text}, '[^ ]', ''))"
+    return dict(n_chars=n_chars, n_alpha=n_alpha, n_space=n_space)
+
+
+def quality_score_sql(text: str, engine: str) -> str:
+    """Quality in [0,1]: alpha ratio x length saturation (cap 1000 chars)."""
+    p = _quality_parts(text, engine)
+    alpha_ratio = f"({p['n_alpha']} * 1.0 / greatest({p['n_chars']}, 1))"
+    sat = f"least({p['n_chars']} / 1000.0, 1.0)"
+    return f"round({alpha_ratio} * {sat}, 6)"
+
+
+def word_count_sql(text: str, engine: str) -> str:
+    """Words = spaces + 1 on trimmed text (portable, split-free)."""
+    p = _quality_parts(f"trim({text})", engine)
+    return f"(CASE WHEN length(trim({text})) = 0 THEN 0 ELSE {p['n_space']} + 1 END)"
+
+
+# --- language id: stopword-hit argmax ---------------------------------------
+
+def langid_spark(text: str) -> Column:
+    """Argmax over per-language stopword hit counts; ties broken toward
+    the lexicographically largest lang code; zero hits -> 'und'."""
+    toks = f"array_distinct({tokens_sql(f'lower({text})')})"
+    scores = []
+    for lang in sorted(LANG_STOPWORDS):
+        arr = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        scores.append(
+            f"struct(size(array_intersect({toks}, array({arr}))) as score, '{lang}' as lang)"
+        )
+    # sort (score, lang) structs ascending and take the LAST element:
+    # highest score wins; equal scores -> lexicographically largest lang.
+    return F.expr(
+        f"""
+        CASE WHEN (aggregate(array({', '.join(scores)}), cast(0 as int),
+                   (acc, s) -> greatest(acc, s.score))) = 0 THEN 'und'
+        ELSE (sort_array(array({', '.join(scores)}), true)[{len(scores) - 1}].lang)
+        END
+        """
+    )
+
+
+def langid_duck(text: str) -> str:
+    """DuckDB twin of :func:`langid_spark` (same argmax + tie-break)."""
+    toks = f"list_distinct(list_filter(string_split(lower({text}), ' '), x -> x != ''))"
+    score_exprs = {
+        lang: f"len(list_intersect({toks}, [{', '.join(repr(w) for w in ws)}]))"
+        for lang, ws in sorted(LANG_STOPWORDS.items())
+    }
+    # argmax with tie-break by lang ascending == max over (score, lang
+    # DESCENDING)... replicate Spark's sort_array of (score, lang) structs
+    # ascending and take the last element: equal scores -> LARGEST lang.
+    pairs = ", ".join(f"({e}, '{lang}')" for lang, e in score_exprs.items())
+    any_hit = " + ".join(score_exprs.values())
+    return (
+        f"CASE WHEN ({any_hit}) = 0 THEN 'und' "
+        f"ELSE list_sort([{pairs}])[{len(score_exprs)}][2] END"
+    )
+
+
+# --- document fingerprint ----------------------------------------------------
+
+def fingerprint_col(text: str, k: int = 8) -> Column:
+    """Rolling-hash document fingerprint: min xxhash64 over character
+    k-grams (winnowing-style min selection; Spark-side only, pytest-
+    verified against a pure-Python twin)."""
+    grams = (
+        f"CASE WHEN length({text}) >= {k} THEN "
+        f"transform(sequence(1, length({text}) - {k} + 1), i -> substring({text}, i, {k})) "
+        f"ELSE array({text}) END"
+    )
+    return F.expr(
+        f"aggregate(transform({grams}, g -> xxhash64(g)), cast(9223372036854775807 as bigint), "
+        f"(acc, h) -> least(acc, h))"
+    )

@@ -1,0 +1,115 @@
+"""J1 — nearest-neighbor candidate search as a cell equi-join.
+
+Replaces the reference kd-tree (``conflate/conflate.py ::
+match_dataset_points_smart`` building ``kdtree.create(...)``, SURVEY §3
+J1).  The kd-tree's invariant — every (dataset, osm) pair within
+``max_distance`` is examined — is preserved by the grid: the dataset
+side is exploded to its k-ring-1 neighbor cells (<=9, distinct) and
+equi-joined against the OSM side's single own-cell id, so each
+qualifying pair appears exactly once (no post-join dedup needed;
+SURVEY §5.2 "explode one side only").
+
+Scale notes (100 TB thinking):
+* the join is a plain shuffle hash/sort-merge equi-join on ``cell`` —
+  AQE handles skewed cells; when the OSM side is small the caller can
+  pass ``broadcast_osm=True``;
+* only 5 slim columns per side survive into the join (ids + coords) —
+  tags/html never enter this exchange;
+* the distance filter runs JVM-side with a +1e-6 m slack; the match
+  kernel recomputes distance in numpy and applies the exact cutoff, so
+  JVM-vs-libm 1-ulp drift can never change the match set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import ConflateConfig
+from ..functions import geo, sqlgen
+
+# slack added to the JVM-side prefilter; the numpy kernel applies the
+# exact `<= max_distance` cut
+_PREFILTER_SLACK_M = 1e-6
+
+
+def with_osm_pk(osm: DataFrame) -> DataFrame:
+    """Stable OSM point key: first letter of type + id ('n123', 'w45')."""
+    return osm.withColumn(
+        "osm_pk", F.concat(F.substring("osm_type", 1, 1), F.col("osm_id").cast("string"))
+    )
+
+
+def candidate_pairs(
+    ds: DataFrame,
+    osm: DataFrame,
+    cfg: ConflateConfig,
+    broadcast_osm: bool = False,
+) -> DataFrame:
+    """(dataset_id, osm_pk, ds_lat, ds_lon, osm_lat, osm_lon, dist_pre, ds_cell).
+
+    ``ds`` needs (id, lat, lon); ``osm`` needs (osm_type, osm_id, lat, lon).
+    """
+    ds_slim = (
+        ds.select(
+            F.col("id").alias("dataset_id"),
+            F.col("lat").alias("ds_lat"),
+            F.col("lon").alias("ds_lon"),
+        )
+        .withColumn("ds_cell", geo.cell_col("ds_lat", "ds_lon", cfg.cell_m))
+        .withColumn("cell", F.explode(geo.kring_col("ds_lat", "ds_lon", cfg.cell_m)))
+    )
+    osm_slim = (
+        with_osm_pk(osm)
+        .select(
+            "osm_pk",
+            F.col("lat").alias("osm_lat"),
+            F.col("lon").alias("osm_lon"),
+        )
+        .withColumn("cell", geo.cell_col("osm_lat", "osm_lon", cfg.cell_m))
+    )
+    if broadcast_osm:
+        osm_slim = F.broadcast(osm_slim)
+    dist_pre = F.expr(
+        sqlgen.distance_sql("ds_lat", "ds_lon", "osm_lat", "osm_lon")
+    ).alias("dist_pre")
+    return (
+        ds_slim.join(osm_slim, "cell")
+        .select(
+            "dataset_id", "osm_pk", "ds_lat", "ds_lon",
+            "osm_lat", "osm_lon", dist_pre, "ds_cell",
+        )
+        .where(F.col("dist_pre") <= F.lit(cfg.max_distance + _PREFILTER_SLACK_M))
+    )
+
+
+def self_pairs(ds: DataFrame, cfg: ConflateConfig, radius: float) -> DataFrame:
+    """Dataset self-join pairs strictly within ``radius`` (for D2).
+
+    Emits each unordered pair once, oriented (small_id, big_id).
+    """
+    left = (
+        ds.select(
+            F.col("id").alias("a_id"),
+            F.col("lat").alias("a_lat"),
+            F.col("lon").alias("a_lon"),
+        )
+        .withColumn("cell", F.explode(geo.kring_col("a_lat", "a_lon", cfg.cell_m)))
+    )
+    right = (
+        ds.select(
+            F.col("id").alias("b_id"),
+            F.col("lat").alias("b_lat"),
+            F.col("lon").alias("b_lon"),
+        )
+        .withColumn("cell", geo.cell_col("b_lat", "b_lon", cfg.cell_m))
+    )
+    dist_pre = F.expr(
+        sqlgen.distance_sql("a_lat", "a_lon", "b_lat", "b_lon")
+    ).alias("dist_pre")
+    return (
+        left.join(right, "cell")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", dist_pre)
+        .where(F.col("dist_pre") < F.lit(radius + _PREFILTER_SLACK_M))
+    )

@@ -1,0 +1,302 @@
+"""Change-set assembly: tag merge X2, node move X3, ref stamping X4,
+create J4, delete/retag-with-vicinity J5, audit overrides J6, osc XML
+rows X5, GeoJSON preview X6, z-tile assignment X8.
+
+Reference: ``conflate/conflate.py :: register_match / to_osc``
+(SURVEY §3).  Everything here is pure Column expressions over map-typed
+tag columns — no Python UDFs; the expressions are written so that no
+``map_concat`` call can ever see a duplicate key (policy-independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import ConflateConfig
+from ..functions import geo
+
+# ---------------------------------------------------------------------------
+# X2 — tag merge with master-tag precedence + ref stamping (X4)
+# ---------------------------------------------------------------------------
+
+def merged_tags_col(
+    ds_tags: str, osm_tags: str, cfg: ConflateConfig, dataset_id_col: str
+) -> Column:
+    """OSM tags overwritten by dataset tags for master keys / missing keys,
+    then ``ref:<dataset_id> = id`` stamped (reference register_match)."""
+    master = F.array(*[F.lit(t) for t in sorted(cfg.master_tags)])
+    ds_apply = F.map_filter(
+        F.col(ds_tags),
+        lambda k, _v: F.array_contains(master, k)
+        | ~F.map_contains_key(F.col(osm_tags), k),
+    )
+    keep_osm = F.map_filter(
+        F.col(osm_tags), lambda k, _v: ~F.map_contains_key(ds_apply, k)
+    )
+    merged = F.map_concat(keep_osm, ds_apply)
+    no_ref = F.map_filter(merged, lambda k, _v: k != F.lit(cfg.ref_key))
+    return F.map_concat(
+        no_ref, F.create_map(F.lit(cfg.ref_key), F.col(dataset_id_col))
+    )
+
+
+def tags_changed_col(a: Column, b: Column) -> Column:
+    """Map equality via canonical sorted entry arrays (maps aren't
+    directly comparable in Spark)."""
+    return F.sort_array(F.map_entries(a)) != F.sort_array(F.map_entries(b))
+
+
+def stamped_tags_col(tags: str, cfg: ConflateConfig, dataset_id_col: str) -> Column:
+    """tags + ref:<dataset_id> = id (for creates, J4)."""
+    no_ref = F.map_filter(F.col(tags), lambda k, _v: k != F.lit(cfg.ref_key))
+    return F.map_concat(
+        no_ref, F.create_map(F.lit(cfg.ref_key), F.col(dataset_id_col))
+    )
+
+
+def retagged_col(tags: str, cfg: ConflateConfig) -> tuple[Column, Column]:
+    """Apply the ``tag_unmatched`` key renames; returns (new_tags, touched)."""
+    cur: Column = F.col(tags)
+    touched: Column = F.lit(False)
+    for old, new in cfg.tag_unmatched_dict.items():
+        has_old = F.map_contains_key(cur, F.lit(old))
+        val = F.element_at(cur, F.lit(old))
+        renamed = F.map_concat(
+            F.map_filter(
+                cur, lambda k, _v: (k != F.lit(old)) & (k != F.lit(new))
+            ),
+            F.create_map(F.lit(new), val),
+        )
+        cur = F.when(has_old, renamed).otherwise(cur)
+        touched = touched | has_old
+    return cur, touched
+
+
+# ---------------------------------------------------------------------------
+# Change assembly (J4/J5/J6 + X2/X3)
+# ---------------------------------------------------------------------------
+
+_CHANGE_COLS = [
+    "action", "osm_type", "osm_id", "version",
+    "lat", "lon", "tags", "dataset_id", "match_dist",
+]
+
+
+def build_changes(
+    matched: DataFrame,
+    ds: DataFrame,
+    osm_pk_df: DataFrame,
+    vicinity: DataFrame,
+    cfg: ConflateConfig,
+    audit: DataFrame | None = None,
+) -> DataFrame:
+    """Assemble the unified changes DataFrame (FIXTURES §2).
+
+    matched:   (dataset_id, osm_pk, dist)
+    ds:        (id, lat, lon, tags, ...)  — post-dedup dataset points
+    osm_pk_df: osm points with osm_pk column — post-F1 filter
+    vicinity:  distinct (osm_pk) within max_distance of any dataset point
+    audit:     optional (dataset_id, skip, keep, move)
+    """
+    spark_any = matched.sparkSession
+    if audit is None:
+        audit = spark_any.createDataFrame(
+            [], "dataset_id string, skip boolean, keep boolean, move boolean"
+        )
+    audit = F.broadcast(audit)
+
+    # --- matched -> modify -------------------------------------------------
+    m = (
+        matched.join(
+            ds.select(
+                F.col("id").alias("dataset_id"),
+                F.col("lat").alias("ds_lat"),
+                F.col("lon").alias("ds_lon"),
+                F.col("tags").alias("ds_tags"),
+            ),
+            "dataset_id",
+        )
+        .join(
+            osm_pk_df.select(
+                "osm_pk", "osm_type", "osm_id", "version",
+                F.col("lat").alias("osm_lat"),
+                F.col("lon").alias("osm_lon"),
+                F.col("tags").alias("osm_tags"),
+            ),
+            "osm_pk",
+        )
+        .join(audit.select("dataset_id", "move"), "dataset_id", "left")
+    )
+    merged = merged_tags_col("ds_tags", "osm_tags", cfg, "dataset_id")
+    moved = (
+        (F.col("osm_type") == "node")
+        & (F.col("dist") > F.lit(cfg.position_tolerance))
+        & F.coalesce(F.col("move"), F.lit(True))
+    )
+    changed = tags_changed_col(merged, F.col("osm_tags"))
+    modify = (
+        m.withColumn("tags", merged)
+        .withColumn("moved", moved)
+        .where(changed | F.col("moved"))
+        .select(
+            F.lit("modify").alias("action"),
+            "osm_type", "osm_id", "version",
+            F.when(F.col("moved"), F.col("ds_lat")).otherwise(F.col("osm_lat")).alias("lat"),
+            F.when(F.col("moved"), F.col("ds_lon")).otherwise(F.col("osm_lon")).alias("lon"),
+            "tags", "dataset_id",
+            F.col("dist").alias("match_dist"),
+        )
+    )
+
+    # --- unmatched dataset -> create (J4, left_anti) ------------------------
+    create = (
+        ds.join(
+            matched.select(F.col("dataset_id").alias("id")), "id", "left_anti"
+        )
+        .select(
+            F.lit("create").alias("action"),
+            F.lit("node").alias("osm_type"),
+            F.lit(None).cast("long").alias("osm_id"),
+            F.lit(1).alias("version"),
+            "lat", "lon",
+            stamped_tags_col("tags", cfg, "id").alias("tags"),
+            F.col("id").alias("dataset_id"),
+            F.lit(None).cast("double").alias("match_dist"),
+        )
+    )
+
+    # --- unmatched OSM -> delete / retag (J5 + J6 keep) ----------------------
+    un = (
+        osm_pk_df.join(matched.select("osm_pk"), "osm_pk", "left_anti")
+        .withColumn("ref_val", F.element_at(F.col("tags"), F.lit(cfg.ref_key)))
+        .join(
+            vicinity.select("osm_pk").withColumn("in_vicinity", F.lit(True)),
+            "osm_pk", "left",
+        )
+        .join(
+            audit.select(
+                F.col("dataset_id").alias("ref_val"), F.col("keep")
+            ),
+            "ref_val", "left",
+        )
+        .withColumn("in_vicinity", F.coalesce("in_vicinity", F.lit(False)))
+        .withColumn("keep", F.coalesce("keep", F.lit(False)))
+    )
+    has_ref = F.col("ref_val").isNotNull()
+    delete = (
+        un.where(has_ref & F.lit(cfg.delete_unmatched) & ~F.col("keep"))
+        .select(
+            F.lit("delete").alias("action"),
+            "osm_type", "osm_id", "version", "lat", "lon", "tags",
+            F.col("ref_val").alias("dataset_id"),
+            F.lit(None).cast("double").alias("match_dist"),
+        )
+    )
+    newtags, touched = retagged_col("tags", cfg)
+    retag_src = un.where(
+        (has_ref & F.lit(not cfg.delete_unmatched) & ~F.col("keep"))
+        | (~has_ref & F.col("in_vicinity"))
+    )
+    retag = (
+        retag_src.withColumn("newtags", newtags)
+        .withColumn("touched", touched)
+        .where(F.col("touched"))
+        .select(
+            F.lit("retag").alias("action"),
+            "osm_type", "osm_id", "version", "lat", "lon",
+            F.col("newtags").alias("tags"),
+            F.col("ref_val").alias("dataset_id"),
+            F.lit(None).cast("double").alias("match_dist"),
+        )
+    )
+
+    return (
+        modify.select(*_CHANGE_COLS)
+        .unionByName(create.select(*_CHANGE_COLS))
+        .unionByName(delete.select(*_CHANGE_COLS))
+        .unionByName(retag.select(*_CHANGE_COLS))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X5 — osmChange XML rows (JVM-side string assembly)
+# ---------------------------------------------------------------------------
+
+def _xml_escape(c: Column) -> Column:
+    for a, b in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+                 ('"', "&quot;"), ("'", "&#39;")]:
+        c = F.replace(c, F.lit(a), F.lit(b))
+    return c
+
+
+def osc_rows(changes: DataFrame) -> DataFrame:
+    """(action, xml) — one serialized element per change row.
+
+    Created objects get a deterministic negative placeholder id (the osc
+    convention for new objects); the placeholder is NOT part of the
+    semantic comparison surface (oracle compares ``changes`` rows).
+    """
+    osm_id = F.coalesce(
+        F.col("osm_id"), -F.abs(F.xxhash64(F.col("dataset_id")))
+    )
+    tag_xml = F.aggregate(
+        F.sort_array(F.map_entries(F.col("tags"))),
+        F.lit(""),
+        lambda acc, kv: F.concat(
+            acc,
+            F.lit('<tag k="'), _xml_escape(kv["key"]),
+            F.lit('" v="'), _xml_escape(kv["value"]), F.lit('"/>'),
+        ),
+    )
+    xml = F.concat(
+        F.lit("<"), F.col("osm_type"),
+        F.lit(' id="'), osm_id.cast("string"),
+        F.lit('" version="'), F.col("version").cast("string"),
+        F.lit('" lat="'), F.col("lat").cast("string"),
+        F.lit('" lon="'), F.col("lon").cast("string"),
+        F.lit('">'), tag_xml,
+        F.lit("</"), F.col("osm_type"), F.lit(">"),
+    )
+    return changes.select("action", xml.alias("xml"))
+
+
+# ---------------------------------------------------------------------------
+# X6 — GeoJSON preview features
+# ---------------------------------------------------------------------------
+
+_MARKER = {"create": "#11cc11", "modify": "#0000ee",
+           "delete": "#ee0000", "retag": "#eeaa00"}
+
+
+def geojson_rows(changes: DataFrame) -> DataFrame:
+    color = F.coalesce(
+        *[F.when(F.col("action") == a, F.lit(c)) for a, c in _MARKER.items()]
+    )
+    feature = F.struct(
+        F.lit("Feature").alias("type"),
+        F.struct(
+            F.lit("Point").alias("type"),
+            F.array(F.col("lon"), F.col("lat")).alias("coordinates"),
+        ).alias("geometry"),
+        F.struct(
+            F.col("action"), F.col("osm_type"), F.col("osm_id"),
+            F.col("dataset_id"), F.col("match_dist"),
+            color.alias("marker_color"),
+        ).alias("properties"),
+    )
+    return changes.select(F.to_json(feature).alias("feature"))
+
+
+# ---------------------------------------------------------------------------
+# X8 — z-tile assignment for the raster summary layer
+# ---------------------------------------------------------------------------
+
+def tiles(ds: DataFrame, cfg: ConflateConfig) -> DataFrame:
+    x, y = geo.tile_cols("lat", "lon", cfg.tile_zoom)
+    return ds.select(
+        F.col("id").alias("dataset_id"),
+        F.lit(cfg.tile_zoom).alias("z"),
+        x.alias("x"),
+        y.alias("y"),
+    )

@@ -1,0 +1,367 @@
+"""Deduplication operators.
+
+Conflation-side (reference parity):
+  D1 ref-dedup   — duplicate dataset ids, keep-first
+                   (``conflate/dataset.py :: read_dataset``, SURVEY §3 D1)
+  D2 spatial     — collapse dataset points closer than duplicate_distance
+                   (``check_dataset_for_duplicates``, SURVEY §3 D2)
+
+Training-pipeline additions (first-class per the build brief): exact
+text dedup, MinHash+LSH, SimHash, exact n-gram Jaccard, and
+embedding-cosine near-dup.  All hot paths are JVM Column expressions
+(xxhash64, array/map ops); nothing row-at-a-time.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import ConflateConfig
+from .candidates import self_pairs
+
+# ---------------------------------------------------------------------------
+# D1 — ref-dedup (keep-first by a deterministic order column)
+# ---------------------------------------------------------------------------
+
+def ref_dedup(ds: DataFrame, order_col: str = "url") -> DataFrame:
+    """Keep the first row per ``id`` ordered by ``order_col`` (the engine's
+    deterministic stand-in for the reference's input order)."""
+    w = Window.partitionBy("id").orderBy(F.col(order_col).asc())
+    return (
+        ds.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D2 — spatial duplicate collapse (exact distributed fixpoint)
+# ---------------------------------------------------------------------------
+
+def spatial_dedup(ds: DataFrame, cfg: ConflateConfig, max_rounds: int = 64) -> DataFrame:
+    """Drop a point iff a KEPT point with smaller id lies strictly within
+    ``duplicate_distance`` — the sequential ids-ascending semantics of the
+    oracle, computed as a distributed fixpoint:
+
+    round 0: points with no smaller-id neighbor are KEPT;
+    round k: a point whose every smaller-id neighbor is DROPPED is KEPT,
+             a point with any KEPT smaller-id neighbor is DROPPED.
+
+    Duplicate clusters are metres-sized, so chains are short and the
+    fixpoint converges in a handful of rounds.
+    """
+    pairs = (
+        self_pairs(ds, cfg, cfg.duplicate_distance)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=True)
+    )
+    ids = ds.select("id")
+    kept = ids.join(pairs.select(F.col("b_id").alias("id")), "id", "left_anti")
+    dropped = ids.limit(0)
+    edges = pairs
+    for _ in range(max_rounds):
+        if edges.limit(1).count() == 0:
+            break
+        newly_dropped = (
+            edges.join(kept.select(F.col("id").alias("a_id")), "a_id", "left_semi")
+            .select(F.col("b_id").alias("id"))
+            .distinct()
+        ).localCheckpoint(eager=True)
+        dropped = dropped.unionByName(newly_dropped)
+        edges = (
+            edges.join(newly_dropped.select(F.col("id").alias("b_id")), "b_id", "left_anti")
+            .join(dropped.select(F.col("id").alias("a_id")), "a_id", "left_anti")
+        )
+        # undecided b's that lost all remaining incoming edges become KEPT
+        remaining_b = edges.select(F.col("b_id").alias("id")).distinct()
+        newly_kept = (
+            pairs.select(F.col("b_id").alias("id"))
+            .distinct()
+            .join(remaining_b, "id", "left_anti")
+            .join(dropped, "id", "left_anti")
+            .join(kept, "id", "left_anti")
+        ).localCheckpoint(eager=True)
+        kept = kept.unionByName(newly_kept)
+        edges = edges.localCheckpoint(eager=True)
+    return ds.join(dropped, "id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Exact text dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per distinct text: (keeper id = min id, n_dups)."""
+    return (
+        df.groupBy(text_col)
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select("keeper_id", "n_dups")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles / n-grams (shared helpers, pure Column exprs)
+# ---------------------------------------------------------------------------
+
+def word_ngrams_col(text_col: str, n: int = 3):
+    """Distinct word n-grams of lower-cased whitespace tokens."""
+    toks = f"filter(split(lower({text_col}), ' '), x -> x != '')"
+    return F.expr(
+        f"array_distinct(CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(0, size({toks}) - {n}), i -> "
+        + "concat_ws(' ', "
+        + ", ".join(f"element_at({toks}, i + {j + 1})" for j in range(n))
+        + ")) ELSE array(concat_ws(' ', {t})) END".replace("{t}", toks)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup pairs
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with word-n-gram Jaccard >= threshold.
+
+    Exact: candidate pairs = docs sharing >= 1 n-gram (inverted-index
+    self-join), intersection counted per pair, union from per-doc sizes.
+    At scale, prune ultra-frequent n-grams before the self-join (df cap).
+    """
+    grams = df.select(
+        F.col(id_col).alias("doc"), word_ngrams_col(text_col, n).alias("grams")
+    ).withColumn("n_grams", F.size("grams"))
+    sizes = grams.select("doc", "n_grams")
+    inv = grams.select("doc", F.explode("grams").alias("g"))
+    pairs = (
+        inv.alias("x")
+        .join(inv.alias("y"), F.col("x.g") == F.col("y.g"))
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .groupBy(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.join(sizes.select(F.col("doc").alias("id_a"), F.col("n_grams").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc").alias("id_b"), F.col("n_grams").alias("nb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup candidates (banded) with exact verification
+# ---------------------------------------------------------------------------
+
+_MERSENNE_P = (1 << 61) - 1
+
+
+def _minhash_params(num_hashes: int, seed: int = 42):
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str,
+    num_hashes: int = 32, shingle_n: int = 3, seed: int = 42,
+) -> DataFrame:
+    """(doc, sig array<long>) — minhash over word-shingle xxhash64 values.
+
+    Universal hash h_i(x) = (a_i * x + b_i) mod (2^61 - 1) computed in
+    JVM integer arithmetic (values kept positive via pmod).
+    """
+    params = _minhash_params(num_hashes, seed)
+    grams = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_ngrams_col(text_col, shingle_n)).alias("g"),
+    ).withColumn("h", F.pmod(F.xxhash64("g"), F.lit(_MERSENNE_P)))
+    # (a*h + b) can overflow int64 — compute in modular pieces:
+    # (a*h) mod p via (a mod p)*(h mod p) is still overflow-prone, so use
+    # double-free approach: split a into hi/lo 31-bit halves.
+    aggs = []
+    for i, (a, b) in enumerate(params):
+        a_hi, a_lo = divmod(a, 1 << 31)
+        # (a*h) mod p = ((a_hi * ((h << 31) mod p)) + a_lo * h) mod p
+        expr = (
+            f"pmod(pmod({a_hi}L * pmod(pmod(h * 2147483648L, {_MERSENNE_P}L) "
+            f"+ {_MERSENNE_P}L, {_MERSENNE_P}L), {_MERSENNE_P}L) "
+            f"+ pmod({a_lo}L * h, {_MERSENNE_P}L) + {b}L, {_MERSENNE_P}L)"
+        )
+        aggs.append(F.min(F.expr(expr)).alias(f"mh{i}"))
+    sig = grams.groupBy("doc").agg(*aggs)
+    return sig.select(
+        "doc", F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    num_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
+    threshold: float = 0.6, seed: int = 42, verify: bool = True,
+) -> DataFrame:
+    """LSH-banded candidate pairs, optionally verified with exact Jaccard.
+
+    Scale path: the band-bucket self-join replaces the all-pairs scan;
+    only same-bucket docs meet.  rows-per-band = num_hashes // bands.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(*[F.col("sig")[bi * r + j] for j in range(r)]).alias("bkey"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    buckets = sig.select("doc", F.explode(band_arr).alias("b")).select(
+        "doc", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+    )
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band", "bkey"])
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return cand
+    grams = df.select(
+        F.col(id_col).alias("doc"), word_ngrams_col(text_col, shingle_n).alias("grams")
+    )
+    return (
+        cand.join(grams.select(F.col("doc").alias("id_a"), F.col("grams").alias("ga")), "id_a")
+        .join(grams.select(F.col("doc").alias("id_b"), F.col("grams").alias("gb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("ga", "gb")).cast("double")
+            / F.size(F.array_union("ga", "gb")).cast("double"),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, sh) — 64-bit SimHash of whitespace tokens as a signed long.
+
+    Per bit j: sign of the sum over token OCCURRENCES of (+1 if bit j of
+    xxhash64(token) else -1).  One explode + one 64-column agg; the token
+    hash is computed once (not per bit).
+    """
+    toks = f"filter(split(lower({text_col}), ' '), x -> x != '')"
+    exploded = df.select(
+        F.col(id_col).alias("doc"), F.explode(F.expr(toks)).alias("t")
+    ).withColumn("h", F.xxhash64("t"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    votes = exploded.groupBy("doc").agg(*aggs)
+    sh = None
+    for j in range(64):
+        term = F.when(F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sh = term if sh is None else sh.bitwiseOR(term)
+    return votes.select("doc", sh.alias("sh"))
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming, found by
+    16-bit-chunk bucketing (any pair within Hamming 3 shares at least one
+    of the 4 chunks) then exact popcount verification."""
+    sim = simhash_signatures(df, text_col, id_col)
+    chunks = sim.select(
+        "doc", "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        (F.shiftright("sh", 16 * i).bitwiseAND(F.lit(0xFFFF))).alias("ckey"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc", "sh", F.col("c.chunk").alias("chunk"), F.col("c.ckey").alias("ckey"))
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk", "ckey"])
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"),
+            F.col("x.sh").alias("sha"), F.col("y.sh").alias("shb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))))
+        .where(F.col("hamming") <= F.lit(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_dup_pairs(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95,
+    n_planes: int = 16, seed: int = 7, brute_force: bool = False,
+) -> DataFrame:
+    """(id_a, id_b, cosine) pairs with cosine >= threshold.
+
+    Scale path: signed-random-projection bucketing (n_planes hyperplanes
+    -> one bucket key; near-identical vectors collide with prob
+    (1 - theta/pi)^n_planes), exact cosine verified per candidate.
+    ``brute_force=True`` joins everything (oracle/test path).
+    """
+    from ..functions.vectors import cosine_expr, srp_bucket_col
+
+    v = df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"))
+    if brute_force:
+        cand = (
+            v.alias("x").crossJoin(v.alias("y"))
+            .where(F.col("x.doc") < F.col("y.doc"))
+        )
+    else:
+        dim = len(v.select("vec").first()["vec"])
+        b = v.withColumn("bucket", srp_bucket_col("vec", dim, n_planes, seed))
+        cand = (
+            b.alias("x").join(b.alias("y"), "bucket")
+            .where(F.col("x.doc") < F.col("y.doc"))
+        )
+    return (
+        cand.select(
+            F.col("x.doc").alias("id_a"),
+            F.col("y.doc").alias("id_b"),
+            cosine_expr("x.vec", "y.vec").alias("cosine"),
+        )
+        .where(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

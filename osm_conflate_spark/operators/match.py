@@ -1,0 +1,237 @@
+"""J2 — exact distributed greedy nearest-first one-to-one matching.
+
+Reference: ``conflate/conflate.py :: match_dataset_points_smart`` — a
+sequential loop popping candidate pairs in ascending distance and
+matching when both sides are unused, ties broken deterministically by
+the total key ``(dist, dataset_id, osm_pk)`` (SURVEY §3 J2, §8.4).
+
+Distributed design (exactness proof sketch in comments):
+
+* Candidate pairs are grouped by a geometric super-block of the DATASET
+  point's own cell, so ALL pairs of a given dataset point land in one
+  group.  OSM points near block borders can appear in several groups
+  ("shared").
+* Per block, an ``applyInPandas`` numpy kernel simulates greedy with
+  three vertex states (FREE / USED / FROZEN): a pair is committed only
+  when it is the minimum live pair for BOTH endpoints and the OSM side
+  is either unshared (all its pairs are local) or this pair is the OSM
+  point's GLOBAL minimum (precomputed) — in either case sequential
+  global greedy provably makes the same match.  Pairs that are locally
+  minimal but not provably safe FREEZE their endpoints (nothing later
+  on those endpoints may commit) and are deferred.
+* The driver loop re-runs the kernel on deferred pairs (minus pairs
+  killed by committed matches) until none remain.  Progress guarantee:
+  the globally smallest live pair always commits, so the fixed point
+  terminates; in practice >99% of pairs resolve in round 1 because
+  shared OSM points only occur near block borders.
+* Skew (BASELINE.json north_star "explicit salt-based skew splitting"):
+  blocks whose pair count exceeds ``cfg.salt_cap_pairs`` are split by a
+  deterministic hash of ``dataset_id`` — correctness is unaffected
+  because splitting only increases the "shared" set, never breaks the
+  all-pairs-of-one-dataset-point invariant.
+
+Everything inside the kernel is vectorized numpy (factorize + lexsort +
+``np.minimum.at`` rounds); there is no per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import ConflateConfig
+from ..functions.geo import distance_np
+from ..functions.sqlgen import CELL_SHIFT
+
+_KERNEL_SCHEMA = T.StructType(
+    [
+        T.StructField("dataset_id", T.StringType()),
+        T.StructField("osm_pk", T.StringType()),
+        T.StructField("dist", T.DoubleType()),
+        T.StructField("status", T.StringType()),  # 'M' matched / 'D' deferred
+    ]
+)
+
+_MAX_INNER_ROUNDS = 256
+
+
+def _block_col(cfg: ConflateConfig):
+    """Super-block id from the dataset point's own cell id."""
+    b = cfg.block_cells
+    band = F.col("ds_cell") / F.lit(CELL_SHIFT)
+    col = F.col("ds_cell") % F.lit(CELL_SHIFT)
+    return (
+        F.floor(band / b).cast("long") * F.lit(CELL_SHIFT)
+        + F.floor(col / b).cast("long")
+    ).alias("block")
+
+
+def _greedy_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized block-local greedy with provable-commit rule."""
+    n = len(pdf)
+    dist = pdf["dist"].to_numpy(dtype=np.float64)
+    ds_codes, _ = pd.factorize(pdf["dataset_id"].to_numpy())
+    osm_codes, _ = pd.factorize(pdf["osm_pk"].to_numpy())
+    n_ds = int(ds_codes.max()) + 1 if n else 0
+    n_osm = int(osm_codes.max()) + 1 if n else 0
+
+    # total order (dist, dataset_id, osm_pk); rank = position in that order
+    order = np.lexsort(
+        (pdf["osm_pk"].to_numpy(), pdf["dataset_id"].to_numpy(), dist)
+    )
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n, dtype=np.int64)
+
+    allowed = (~pdf["shared"].to_numpy()) | pdf["is_gmin"].to_numpy()
+
+    FREE, USED, FROZEN = 0, 1, 2
+    ds_state = np.zeros(n_ds, dtype=np.int8)
+    osm_state = np.zeros(n_osm, dtype=np.int8)
+    alive = np.ones(n, dtype=bool)
+    matched = np.zeros(n, dtype=bool)
+    INF = n + 1
+
+    for _ in range(_MAX_INNER_ROUNDS):
+        idx = np.flatnonzero(alive)
+        if idx.size == 0:
+            break
+        ds_min = np.full(n_ds, INF, dtype=np.int64)
+        osm_min = np.full(n_osm, INF, dtype=np.int64)
+        np.minimum.at(ds_min, ds_codes[idx], rank[idx])
+        np.minimum.at(osm_min, osm_codes[idx], rank[idx])
+        elig = (
+            alive
+            & (rank == ds_min[ds_codes])
+            & (rank == osm_min[osm_codes])
+            & (ds_state[ds_codes] == FREE)
+            & (osm_state[osm_codes] == FREE)
+        )
+        commit = elig & allowed
+        freeze = elig & ~allowed
+        if freeze.any():
+            f_ds = ds_codes[freeze]
+            f_osm = osm_codes[freeze]
+            ds_state[f_ds] = np.where(ds_state[f_ds] == FREE, FROZEN, ds_state[f_ds])
+            osm_state[f_osm] = np.where(
+                osm_state[f_osm] == FREE, FROZEN, osm_state[f_osm]
+            )
+            alive &= ~freeze  # frozen pairs go straight to deferred output
+        if not commit.any():
+            break
+        matched |= commit
+        ds_state[ds_codes[commit]] = USED
+        osm_state[osm_codes[commit]] = USED
+        # drop committed pairs and every pair touching a USED endpoint
+        alive &= (
+            ~commit
+            & (ds_state[ds_codes] != USED)
+            & (osm_state[osm_codes] != USED)
+        )
+
+    deferred = (~matched) & (
+        (ds_state[ds_codes] != USED) & (osm_state[osm_codes] != USED)
+    )
+    out = pdf.loc[matched | deferred, ["dataset_id", "osm_pk", "dist"]].copy()
+    out["status"] = np.where(matched[matched | deferred], "M", "D")
+    return out
+
+
+def _exact_dist(pairs: DataFrame, max_distance: float) -> DataFrame:
+    """Recompute distance in numpy (Arrow-vectorized) and apply the exact
+    cutoff, so the kernel/oracle metric is authoritative (SURVEY §8.5)."""
+
+    @F.pandas_udf("double")
+    def _dist(ds_lat: pd.Series, ds_lon: pd.Series,
+              osm_lat: pd.Series, osm_lon: pd.Series) -> pd.Series:
+        return pd.Series(distance_np(ds_lat, ds_lon, osm_lat, osm_lon))
+
+    return (
+        pairs.withColumn("dist", _dist("ds_lat", "ds_lon", "osm_lat", "osm_lon"))
+        .where(F.col("dist") <= F.lit(max_distance))
+        .drop("dist_pre")
+    )
+
+
+def greedy_match(
+    spark: SparkSession,
+    pairs: DataFrame,
+    cfg: ConflateConfig,
+) -> DataFrame:
+    """Candidate pairs -> exact greedy matched pairs
+    (dataset_id, osm_pk, dist).
+
+    ``pairs`` must have (dataset_id, osm_pk, ds_lat, ds_lon, osm_lat,
+    osm_lon, dist_pre, ds_cell) as produced by
+    :func:`..operators.candidates.candidate_pairs`.
+    """
+    live = _exact_dist(pairs, cfg.max_distance).withColumn(
+        "block", _block_col(cfg)
+    ).select("dataset_id", "osm_pk", "dist", "block")
+    live = live.localCheckpoint(eager=True)
+
+    matched_parts: list[DataFrame] = []
+    for _round in range(cfg.max_match_rounds):
+        n_live = live.count()
+        if n_live == 0:
+            break
+
+        # skew guard: split oversized blocks by dataset_id hash (exact —
+        # splitting only widens the 'shared' set)
+        sizes = live.groupBy("block").count()
+        oversized = sizes.where(F.col("count") > cfg.salt_cap_pairs)
+        if oversized.limit(1).count() > 0:
+            nsplit = 16
+            live = live.join(
+                F.broadcast(oversized.select("block").withColumn("oversized", F.lit(True))),
+                "block", "left",
+            ).withColumn(
+                "block",
+                F.when(
+                    F.col("oversized").isNotNull(),
+                    F.col("block") * nsplit
+                    + F.pmod(F.xxhash64("dataset_id"), F.lit(nsplit)),
+                ).otherwise(F.col("block") * nsplit),
+            ).drop("oversized")
+
+        key = F.struct(F.col("dist"), F.col("dataset_id"), F.col("osm_pk"))
+        osm_stats = live.groupBy("osm_pk").agg(
+            F.min(key).alias("osm_min"),
+            F.countDistinct("block").alias("nblocks"),
+        )
+        enriched = live.join(osm_stats, "osm_pk").select(
+            "dataset_id",
+            "osm_pk",
+            "dist",
+            "block",
+            (F.col("nblocks") > 1).alias("shared"),
+            (key == F.col("osm_min")).alias("is_gmin"),
+        )
+        result = enriched.groupBy("block").applyInPandas(
+            _greedy_kernel, _KERNEL_SCHEMA
+        )
+        result = result.localCheckpoint(eager=True)
+        matched_new = result.where(F.col("status") == "M").drop("status")
+        matched_parts.append(matched_new)
+
+        deferred = result.where(F.col("status") == "D").drop("status")
+        # kill deferred pairs touching endpoints consumed anywhere
+        deferred = deferred.join(
+            matched_new.select("dataset_id"), "dataset_id", "left_anti"
+        ).join(matched_new.select("osm_pk"), "osm_pk", "left_anti")
+        # re-attach block (kernel output dropped it) from the pair table
+        live = deferred.join(
+            live.select("dataset_id", "osm_pk", "block"),
+            ["dataset_id", "osm_pk"],
+        ).localCheckpoint(eager=True)
+
+    if not matched_parts:
+        return spark.createDataFrame([], _KERNEL_SCHEMA).drop("status")
+    out = matched_parts[0]
+    for part in matched_parts[1:]:
+        out = out.unionByName(part)
+    return out

@@ -1,0 +1,151 @@
+"""E1 — the end-to-end conflation pipeline (SURVEY §4).
+
+Stage DAG (each DataFrame-in/DataFrame-out, checkpointable via
+StageRunner):
+
+  dataset:  D1 ref-dedup -> F5 normalize -> F2 transform -> F3 categories
+            -> D2 spatial dedup
+  osm:      F1 query filter -> osm_pk
+  J1 candidate cell join -> audit skip -> J2 exact greedy match
+  -> changes (X2/X3/X4, J4/J5/J6) -> osc rows X5 / geojson X6
+  -> tiles X8 -> metrics A1 + lineage
+
+Physical shape at scale: three shuffles dominate — the cell equi-join,
+the per-osm min aggregation, and the kernel groupBy; anti/semi joins
+reuse AQE-planned exchanges; the audit table is always broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import ConflateConfig
+from ..functions import tags as tagfns
+from ..operators import changes as chg
+from ..operators.candidates import candidate_pairs, with_osm_pk
+from ..operators.dedup import ref_dedup, spatial_dedup
+from ..operators.match import greedy_match
+from .lineage import StageRunner, config_hash
+
+
+class ConflatePipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: ConflateConfig | None = None,
+        out_dir: str | None = None,
+        resume: bool = True,
+    ):
+        self.spark = spark
+        self.cfg = cfg or ConflateConfig()
+        self.runner = StageRunner(
+            spark, out_dir=out_dir, cfg_hash=config_hash(self.cfg), resume=resume
+        )
+
+    # -- individual stages --------------------------------------------------
+
+    def prepare_dataset(self, ds: DataFrame, order_col: str = "url") -> DataFrame:
+        cfg = self.cfg
+        if order_col in ds.columns:
+            ds = ref_dedup(ds, order_col)
+        else:
+            ds = ref_dedup(ds.withColumn("_ord", F.col("id")), "_ord").drop("_ord")
+        ds = ds.withColumn("tags", tagfns.normalize_tags("tags"))
+        ds = tagfns.apply_transform(ds, "tags", cfg)
+        if "category" in ds.columns:
+            ds = tagfns.apply_categories(ds, "tags", cfg)
+        return spatial_dedup(ds, cfg)
+
+    def prepare_osm(self, osm: DataFrame) -> DataFrame:
+        osm = osm.where(tagfns.query_filter_col("tags", self.cfg))
+        return with_osm_pk(osm)
+
+    def match(
+        self,
+        ds: DataFrame,
+        osm_pk_df: DataFrame,
+        audit: DataFrame | None = None,
+        broadcast_osm: bool = False,
+    ) -> tuple[DataFrame, DataFrame]:
+        """Returns (matched_pairs, vicinity)."""
+        pairs = candidate_pairs(ds, osm_pk_df, self.cfg, broadcast_osm=broadcast_osm)
+        pairs = pairs.localCheckpoint(eager=True)
+        vicinity = pairs.select("osm_pk").distinct()
+        if audit is not None:
+            skips = F.broadcast(
+                audit.where(F.col("skip")).select(F.col("dataset_id"))
+            )
+            pairs = pairs.join(skips, "dataset_id", "left_anti")
+        matched = greedy_match(self.spark, pairs, self.cfg)
+        return matched, vicinity
+
+    # -- full run -------------------------------------------------------------
+
+    def run(
+        self,
+        ds_raw: DataFrame,
+        osm_raw: DataFrame,
+        audit: DataFrame | None = None,
+        broadcast_osm: bool = False,
+    ) -> dict:
+        r = self.runner
+        ds = r.run("dataset_prep", lambda: self.prepare_dataset(ds_raw))
+        osm = r.run("osm_prep", lambda: self.prepare_osm(osm_raw))
+        matched_box: dict = {}
+
+        def _match():
+            m, v = self.match(ds, osm, audit, broadcast_osm)
+            matched_box["vicinity"] = v.localCheckpoint(eager=True)
+            return m
+
+        matched = r.run("match", _match)
+        if "vicinity" not in matched_box:  # match stage resumed from parquet
+            pairs = candidate_pairs(ds, osm, self.cfg, broadcast_osm=broadcast_osm)
+            matched_box["vicinity"] = pairs.select("osm_pk").distinct()
+        changes = r.run(
+            "changes",
+            lambda: chg.build_changes(
+                matched, ds, osm, matched_box["vicinity"], self.cfg, audit
+            ),
+        )
+        tiles = r.run("tiles", lambda: chg.tiles(ds, self.cfg))
+        metrics = changes.groupBy("action").count()
+        return dict(
+            dataset=ds,
+            osm=osm,
+            matched=matched,
+            changes=changes,
+            tiles=tiles,
+            metrics=metrics,
+            osc=chg.osc_rows(changes),
+            geojson=chg.geojson_rows(changes),
+            lineage=r.lineage_df,
+        )
+
+
+def build_session(
+    app: str = "osm-conflate-spark",
+    master: str | None = None,
+    shuffle_partitions: int = 32,
+) -> SparkSession:
+    """Opinionated local session: AQE on, Arrow on, sane local shuffle
+    width.  On a real cluster, spark-submit conf wins — we only set
+    semantics-relevant options."""
+    import os
+
+    b = SparkSession.builder.appName(app)
+    if master:
+        b = b.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        b = b.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    return (
+        b.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
