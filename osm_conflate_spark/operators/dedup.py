@@ -112,12 +112,11 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def word_ngrams_col(text_col: str, n: int = 3):
     """Distinct word n-grams of lower-cased whitespace tokens."""
     toks = f"filter(split(lower({text_col}), ' '), x -> x != '')"
+    parts = ", ".join(f"element_at({toks}, i + {j + 1})" for j in range(n))
     return F.expr(
-        f"array_distinct(CASE WHEN size({toks}) >= {n} THEN "
-        f"transform(sequence(0, size({toks}) - {n}), i -> "
-        + "concat_ws(' ', "
-        + ", ".join(f"element_at({toks}, i + {j + 1})" for j in range(n))
-        + ")) ELSE array(concat_ws(' ', {t})) END".replace("{t}", toks)
+        f"array_distinct(CASE WHEN size({toks}) >= {n} "
+        f"THEN transform(sequence(0, size({toks}) - {n}), i -> concat_ws(' ', {parts})) "
+        f"ELSE array(concat_ws(' ', {toks})) END)"
     )
 
 
@@ -164,12 +163,14 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 _MERSENNE_P = (1 << 61) - 1
+_HASH_SPACE = 1 << 31  # shingle hashes and coefficients kept 31-bit so
+                       # a*h + b < 2^62 never overflows int64 (ANSI mode)
 
 
 def _minhash_params(num_hashes: int, seed: int = 42):
     rng = random.Random(seed)
     return [
-        (rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P))
+        (rng.randrange(1, _HASH_SPACE), rng.randrange(0, _HASH_SPACE))
         for _ in range(num_hashes)
     ]
 
@@ -187,20 +188,11 @@ def minhash_signatures(
     grams = df.select(
         F.col(id_col).alias("doc"),
         F.explode(word_ngrams_col(text_col, shingle_n)).alias("g"),
-    ).withColumn("h", F.pmod(F.xxhash64("g"), F.lit(_MERSENNE_P)))
-    # (a*h + b) can overflow int64 — compute in modular pieces:
-    # (a*h) mod p via (a mod p)*(h mod p) is still overflow-prone, so use
-    # double-free approach: split a into hi/lo 31-bit halves.
-    aggs = []
-    for i, (a, b) in enumerate(params):
-        a_hi, a_lo = divmod(a, 1 << 31)
-        # (a*h) mod p = ((a_hi * ((h << 31) mod p)) + a_lo * h) mod p
-        expr = (
-            f"pmod(pmod({a_hi}L * pmod(pmod(h * 2147483648L, {_MERSENNE_P}L) "
-            f"+ {_MERSENNE_P}L, {_MERSENNE_P}L), {_MERSENNE_P}L) "
-            f"+ pmod({a_lo}L * h, {_MERSENNE_P}L) + {b}L, {_MERSENNE_P}L)"
-        )
-        aggs.append(F.min(F.expr(expr)).alias(f"mh{i}"))
+    ).withColumn("h", F.pmod(F.xxhash64("g"), F.lit(_HASH_SPACE)))
+    aggs = [
+        F.min(F.expr(f"pmod({a}L * h + {b}L, {_MERSENNE_P}L)")).alias(f"mh{i}")
+        for i, (a, b) in enumerate(params)
+    ]
     sig = grams.groupBy("doc").agg(*aggs)
     return sig.select(
         "doc", F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig")
