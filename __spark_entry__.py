@@ -1,38 +1,476 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship conflation run on sf0.001-derived points.
+``queries()`` — one entry per implemented operator (SURVEY.md §3).
+``oracle_sql()`` — DuckDB-runnable ANSI SQL oracles; queries exercising
+engine-internal operators (greedy match, candidate cell join) get
+oracles built from PORTABLE SQL templates in
+``osm_conflate_spark.functions.sqlgen`` so Spark and DuckDB evaluate the
+same arithmetic; the greedy matcher itself is oracled with a recursive
+CTE that replays the sequential reference algorithm.
+
+Synthetic geometry: dataset/osm point clouds are derived DETERMINISTICALLY
+from the shared TPC-H-ish tables via integer arithmetic (no external
+data, reproducible in both engines).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osm_conflate_spark.config import ConflateConfig
+from osm_conflate_spark.functions import sqlgen
+from osm_conflate_spark.functions import text as tfn
+from osm_conflate_spark.operators import dedup as dd
+from osm_conflate_spark.operators import similarity as sim
+from osm_conflate_spark.operators.candidates import candidate_pairs
+from osm_conflate_spark.plans.pipeline import ConflatePipeline
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# ---------------------------------------------------------------------------
+# deterministic point derivations (identical text in Spark SQL and DuckDB)
+# ---------------------------------------------------------------------------
+
+# Groups of 3 consecutive keys share a base location, so every cluster
+# has 3 dataset + 3 OSM points within ~±150 m — REAL greedy contention
+# (multiple candidates per point; nearest-first one-to-one resolution).
+_BASE = "(o_orderkey - (o_orderkey % 3))"
+_LAT = sqlgen.derived_lat_sql(_BASE)
+_LON = sqlgen.derived_lon_sql(_BASE)
+_DS_OFF_LAT = "(((o_orderkey * 7) % 29) - 14) * 2.0E-5"
+_DS_OFF_LON = "(((o_orderkey * 11) % 37) - 18) * 2.0E-5"
+_OFF_LAT = "(((o_orderkey * 13) % 241) - 120) * 1.0E-5"
+_OFF_LON = "(((o_orderkey * 29) % 161) - 80) * 1.0E-5"
+
+_DS_PTS = (
+    f"SELECT o_orderkey AS k, ({_LAT}) + ({_DS_OFF_LAT}) AS lat, "
+    f"({_LON}) + ({_DS_OFF_LON}) AS lon FROM orders"
+)
+_OSM_PTS = (
+    f"SELECT o_orderkey AS k, ({_LAT}) + ({_OFF_LAT}) AS lat, "
+    f"({_LON}) + ({_OFF_LON}) AS lon FROM orders"
+)
+
+
+def _register(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _portable(name: str) -> str:
+    """Portable SQL runnable by BOTH Spark and DuckDB (same text)."""
+    dist = sqlgen.distance_sql("d.lat", "d.lon", "m.lat", "m.lon")
+    q = {
+        # X1 — equirectangular distance (consecutive-key point pairs)
+        "distance": f"""
+            WITH pts AS ({_DS_PTS})
+            SELECT d.k AS k1, m.k AS k2, round({dist}, 3) AS dist_m
+            FROM pts d JOIN pts m ON m.k = d.k + 1
+        """,
+        # S1 — cell index
+        "cell_index": f"""
+            WITH pts AS ({_DS_PTS})
+            SELECT k, {sqlgen.cell_sql('lat', 'lon', 200.0)} AS cell FROM pts
+        """,
+        # X8 — z12 slippy tiles
+        "tiles_z12": f"""
+            WITH pts AS ({_DS_PTS})
+            SELECT k, 12 AS z, {sqlgen.tile_x_sql('lon', 12)} AS x,
+                   {sqlgen.tile_y_sql('lat', 12)} AS y
+            FROM pts
+        """,
+        # A2 — dataset extent bbox
+        "bbox_extent": f"""
+            WITH pts AS ({_DS_PTS})
+            SELECT round(min(lat), 9) AS min_lat, round(max(lat), 9) AS max_lat,
+                   round(min(lon), 9) AS min_lon, round(max(lon), 9) AS max_lon
+            FROM pts
+        """,
+        # D1 — ref-dedup (keep-first by deterministic order)
+        "ref_dedup": """
+            SELECT o_orderkey AS kept_key, o_custkey AS ref_id FROM (
+                SELECT o_orderkey, o_custkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderkey) AS rn
+                FROM orders
+            ) t WHERE rn = 1
+        """,
+        # J1 — candidate pairs within max_distance: DuckDB side is the
+        # brute-force distance join; the Spark side (non-portable, see
+        # queries()) is the cell-grid equi-join — proves the grid misses
+        # nothing and invents nothing.
+        "candidate_pairs": f"""
+            WITH d AS ({_DS_PTS}), m AS ({_OSM_PTS})
+            SELECT d.k AS dataset_key, m.k AS osm_key, round({dist}, 3) AS dist_m
+            FROM d JOIN m ON ({dist}) <= 100.0E0
+        """,
+        # F1 — tag filter semantics over a constructed tag map: rows whose
+        # 'type' tag contains BRASS and size tag = '15'
+        "tag_filter": """
+            SELECT p_partkey FROM part
+            WHERE p_type LIKE '%BRASS%' AND p_size = 15
+        """,
+        # X2 — tag-merge precedence on scalar columns (master key wins,
+        # missing key filled, non-master OSM value kept)
+        "tag_merge": """
+            SELECT s_suppkey AS key,
+                   s_name AS name_merged,
+                   n_name AS nation_kept,
+                   'src-' || CAST(s_suppkey AS VARCHAR) AS src_filled
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        """,
+        # A1-style aggregate: orders per status (change-count summary shape)
+        "action_counts": """
+            SELECT o_orderstatus AS action, count(*) AS n
+            FROM orders GROUP BY o_orderstatus
+        """,
+        # exact text dedup
+        "dedup_exact": """
+            SELECT min(doc_id) AS keeper_id, count(*) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        # token/quality text stats (portable arithmetic)
+        "token_stats": f"""
+            SELECT doc_id,
+                   {tfn.word_count_sql('text', 'ENGINE')} AS n_words,
+                   {tfn.quality_score_sql('text', 'ENGINE')} AS quality
+            FROM documents
+        """,
+        # windowed events aggregate (streaming-equivalent batch shape)
+        "events_hourly": """
+            SELECT CAST(epoch_expr AS BIGINT) AS hour_epoch, event_type,
+                   count(*) AS n, round(sum(value), 6) AS total
+            FROM events_src
+            GROUP BY 1, 2
+        """,
+        # TPC-H Q1-style pricing summary (general analytics capability)
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 6) AS sum_qty,
+                   round(sum(l_extendedprice), 6) AS sum_base_price,
+                   round(sum(l_extendedprice * (1.0E0 - l_discount)), 6) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        # join + top-n analytics
+        "top_customers": """
+            SELECT c_custkey, c_name, round(sum(o_totalprice), 6) AS spent,
+                   count(*) AS n_orders
+            FROM customer JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+        """,
+    }
+    return q[name]
+
+
+# J2 — sequential greedy replay as a DuckDB recursive CTE: each step
+# matches the minimum remaining pair by (dist, dataset_key, osm_key) and
+# removes both endpoints.  This is the REFERENCE algorithm verbatim.
+_GREEDY_ORACLE = f"""
+WITH RECURSIVE cand AS (
+    WITH d AS ({_DS_PTS}), m AS ({_OSM_PTS})
+    SELECT d.k AS dk, m.k AS ok,
+           {sqlgen.distance_sql('d.lat', 'd.lon', 'm.lat', 'm.lon')} AS dist
+    FROM d JOIN m
+      ON ({sqlgen.distance_sql('d.lat', 'd.lon', 'm.lat', 'm.lon')}) <= 100.0E0
+),
+g AS (
+    SELECT dk, ok, dist, 'live' AS typ FROM cand
+    UNION ALL
+    SELECT w.dk, w.ok, w.dist,
+           CASE
+             WHEN (w.dist, w.dk, w.ok) = (SELECT min((dist, dk, ok)) FROM
+                   (SELECT dk, ok, dist FROM g WHERE typ = 'live') z)
+                  THEN 'match'
+             WHEN w.dk = (SELECT min((dist, dk, ok)) FROM
+                   (SELECT dk, ok, dist FROM g WHERE typ = 'live') z)[2]
+               OR w.ok = (SELECT min((dist, dk, ok)) FROM
+                   (SELECT dk, ok, dist FROM g WHERE typ = 'live') z)[3]
+                  THEN 'dead'
+             ELSE 'live'
+           END AS typ
+    FROM g w WHERE w.typ = 'live'
+)
+SELECT dk AS dataset_key, ok AS osm_key, round(dist, 3) AS dist_m
+FROM g WHERE typ = 'match'
+"""
+
+
+def _derived_points(spark: SparkSession, sf_dir: str):
+    _register(spark, sf_dir)
+    ds = spark.sql(_DS_PTS).selectExpr(
+        "CAST(k AS STRING) AS id", "lat", "lon",
+        "map('name', concat('P', CAST(k AS STRING))) AS tags",
+        "CAST(NULL AS STRING) AS category", "CAST(NULL AS STRING) AS remarks",
+        "CAST(k AS STRING) AS url",
+    )
+    osm = spark.sql(_OSM_PTS).selectExpr(
+        "'node' AS osm_type", "k AS osm_id", "CAST(1 AS INT) AS version",
+        "lat", "lon", "map('name', concat('P', CAST(k AS STRING))) AS tags",
+    )
+    return ds, osm
+
+
+_CFG = ConflateConfig(duplicate_distance=0.001)  # derived keys: no dup collapse
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full conflation pipeline on sf0.001-derived points."""
+    ds, osm = _derived_points(spark, "/root/testdata/sf0.001")
+    pipe = ConflatePipeline(spark, _CFG)
+    res = pipe.run(ds, osm)
+    return res["changes"]
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _sql_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register(spark, sf_dir)
+        sql = _portable(name)
+        if name == "token_stats":
+            sql = sql.replace(
+                tfn.word_count_sql("text", "ENGINE"), tfn.word_count_sql("text", "spark")
+            ).replace(
+                tfn.quality_score_sql("text", "ENGINE"),
+                tfn.quality_score_sql("text", "spark"),
+            )
+        if name == "events_hourly":
+            sql = sql.replace("epoch_expr", "CAST(date_trunc('hour', ts) AS LONG)").replace(
+                "events_src", "events"
+            )
+        return spark.sql(sql)
+
+    return run
+
+
+def _q_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds, osm = _derived_points(spark, sf_dir)
+    pairs = candidate_pairs(ds, osm, _CFG)
+    return pairs.where(F.col("dist_pre") <= 100.0).select(
+        F.col("dataset_id").cast("long").alias("dataset_key"),
+        F.expr("CAST(substring(osm_pk, 2) AS LONG)").alias("osm_key"),
+        F.round("dist_pre", 3).alias("dist_m"),
+    )
+
+
+def _q_greedy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds, osm = _derived_points(spark, sf_dir)
+    pipe = ConflatePipeline(spark, _CFG)
+    matched, _ = pipe.match(ds, pipe.prepare_osm(osm))
+    return matched.select(
+        F.col("dataset_id").cast("long").alias("dataset_key"),
+        F.expr("CAST(substring(osm_pk, 2) AS LONG)").alias("osm_key"),
+        F.round("dist", 3).alias("dist_m"),
+    )
+
+
+def _q_conflate_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds, osm = _derived_points(spark, sf_dir)
+    res = ConflatePipeline(spark, _CFG).run(ds, osm)
+    return res["changes"].select(
+        "action", "osm_type", "osm_id",
+        F.round("lat", 6).alias("lat6"), F.round("lon", 6).alias("lon6"),
+        "dataset_id",
+    )
+
+
+def _q_tag_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 exercised through real map columns, projected to scalars so the
+    DuckDB oracle can check it: dataset map carries master 'name' +
+    'acctbal'; OSM map carries 'name' + 'nation'."""
+    _register(spark, sf_dir)
+    from osm_conflate_spark.operators.changes import merged_tags_col
+
+    cfg = ConflateConfig(master_tags=frozenset({"name"}), dataset_id="t")
+    df = spark.sql(
+        """
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        """
+    ).select(
+        F.col("s_suppkey"),
+        F.create_map(
+            F.lit("name"), F.col("s_name"),
+            F.lit("src"), F.concat(F.lit("src-"), F.col("s_suppkey").cast("string")),
+        ).alias("ds_tags"),
+        F.create_map(
+            F.lit("name"), F.concat(F.lit("OLD"), F.col("s_name")),
+            F.lit("nation"), F.col("n_name"),
+        ).alias("osm_tags"),
+        F.col("s_suppkey").cast("string").alias("sid"),
+    )
+    merged = df.withColumn("m", merged_tags_col("ds_tags", "osm_tags", cfg, "sid"))
+    return merged.select(
+        F.col("s_suppkey").alias("key"),
+        F.element_at("m", "name").alias("name_merged"),    # master -> ds wins
+        F.element_at("m", "nation").alias("nation_kept"),  # osm-only kept
+        F.element_at("m", "src").alias("src_filled"),      # filled from ds
+    )
+
+
+def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir)
+    return spark.sql("SELECT doc_id, text FROM documents").select(
+        "doc_id", tfn.langid_spark("text").alias("lang_pred")
+    )
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=32, bands=8, threshold=0.2
+    )
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.simhash_pairs(docs, "text", "doc_id", max_hamming=8)
+
+
+def _q_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return dd.embedding_dup_pairs(
+        emb, "embedding", "vec_id", threshold=0.3, brute_force=True
+    )
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    return sim.brute_force_topk(queries, emb, k=5).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", tfn.fingerprint_col("text").alias("fp"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: _sql_query(name)
+        for name in [
+            "distance", "cell_index", "tiles_z12", "bbox_extent", "ref_dedup",
+            "tag_filter", "action_counts", "dedup_exact", "token_stats",
+            "events_hourly", "tpch_q1", "top_customers",
+        ]
+    }
+    q.update(
+        candidate_pairs=_q_candidate_pairs,
+        greedy_match=_q_greedy_match,
+        conflate_changes=_q_conflate_changes,
+        tag_merge=_q_tag_merge,
+        langid=_q_langid,
+        ngram_jaccard=_q_ngram_jaccard,
+        minhash_pairs=_q_minhash_pairs,
+        simhash_pairs=_q_simhash_pairs,
+        embedding_dup=_q_embedding_dup,
+        ann_topk=_q_ann_topk,
+        fingerprint=_q_fingerprint,
+    )
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = {
+        name: _portable(name)
+        for name in [
+            "distance", "cell_index", "tiles_z12", "bbox_extent", "ref_dedup",
+            "tag_filter", "action_counts", "dedup_exact", "tpch_q1",
+            "top_customers", "candidate_pairs", "tag_merge",
+        ]
+    }
+    out["token_stats"] = (
+        _portable("token_stats")
+        .replace(tfn.word_count_sql("text", "ENGINE"), tfn.word_count_sql("text", "duck"))
+        .replace(tfn.quality_score_sql("text", "ENGINE"), tfn.quality_score_sql("text", "duck"))
+    )
+    out["events_hourly"] = (
+        _portable("events_hourly")
+        .replace("epoch_expr", "epoch(date_trunc('hour', ts))")
+        .replace("events_src", "events")
+    )
+    out["greedy_match"] = _GREEDY_ORACLE
+    out["langid"] = f"SELECT doc_id, {tfn.langid_duck('text')} AS lang_pred FROM documents"
+    out["ngram_jaccard"] = _NGRAM_JACCARD_DUCK
+    out["embedding_dup"] = _EMBEDDING_DUP_DUCK
+    out["ann_topk"] = _ANN_TOPK_DUCK
+    # minhash_pairs / simhash_pairs / fingerprint / conflate_changes:
+    # xxhash64-based or engine-internal — rows-only checks (pytest holds
+    # the python-twin oracles for these).
+    return out
+
+
+_NGRAM_JACCARD_DUCK = """
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS w
+    FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           CASE WHEN len(w) >= 3 THEN list_distinct([
+               w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)
+           ]) ELSE [array_to_string(w, ' ')] END AS g
+    FROM toks
+),
+inv AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+sizes AS (SELECT doc_id, len(g) AS n FROM grams),
+inter AS (
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+    FROM inv x JOIN inv y ON x.gram = y.gram AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i * 1.0E0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE i * 1.0E0 / (sa.n + sb.n - i) >= 0.2
+"""
+
+_EMBEDDING_DUP_DUCK = """
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(c, 6) AS cosine FROM pairs WHERE c >= 0.3
+"""
+
+_ANN_TOPK_DUCK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+    SELECT query_id, neighbor_id,
+           round(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 6) AS cosine
+    FROM q JOIN c ON query_id != neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""

@@ -1,0 +1,217 @@
+"""Benchmark harness.
+
+Default mode (driver contract): run the headline queries + the full
+conflation pipeline at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]; print ONE JSON line
+  {"metric": "conflate_e2e_wall_sec", "value": N, "unit": "sec",
+   "queries": {...}, "sf": ..., "pages_per_sec": ..., ...}
+
+--scaling mode (BASELINE.json scaling gate evidence): run the pipeline
+in FRESH JVMs at local[8] and local[32] on identical input and report
+throughput at both plus efficiency = T8_wall / (4 * T32_wall)... i.e.
+eff = throughput(32) / (4 x throughput(8)); appends BENCH/BASELINE.md.
+
+Bench input: deterministic synthetic pages + osm tables derived from
+the generators (seed 42), cached as parquet under .bench/ — the pages
+table has the exact input_hint shape (url, warc_ts, html, text, lang).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BENCH_DIR = os.path.join(REPO, ".bench")
+
+
+def sf_of(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def ensure_bench_tables(spark, n_pages: int):
+    """Build (once) the pages + osm parquet for a given size."""
+    pages_path = os.path.join(BENCH_DIR, f"pages_{n_pages}.parquet")
+    osm_path = os.path.join(BENCH_DIR, f"osm_{n_pages}.parquet")
+    if not (os.path.exists(pages_path) and os.path.exists(osm_path)):
+        from osm_conflate_spark.gen import gen_dataset, gen_osm, gen_pages
+
+        chunk = 200_000
+        os.makedirs(BENCH_DIR, exist_ok=True)
+        ds_parts = []
+        for off in range(0, n_pages, chunk):
+            n = min(chunk, n_pages - off)
+            ds = gen_dataset(n, seed=42 + off)
+            ds["id"] = ds["id"] + f"_{off}"
+            ds_parts.append(ds)
+        import pandas as pd
+
+        ds_all = pd.concat(ds_parts, ignore_index=True)
+        osm_all = gen_osm(ds_all, seed=43)
+        pages_parts = [gen_pages(p, seed=42) for p in ds_parts]
+        pages_all = pd.concat(pages_parts, ignore_index=True)
+        # unique urls across chunks
+        pages_all["url"] = ds_all["url"] + "?c=" + ds_all["id"]
+        spark.createDataFrame(
+            pages_all, schema="url string, warc_ts timestamp, html binary, lang string, text string"
+        ).repartition(32).write.mode("overwrite").parquet(pages_path)
+        spark.createDataFrame(
+            osm_all.drop(columns=["kind"]),
+            schema="osm_type string, osm_id long, version int, lat double, lon double, tags_raw string",
+        ).repartition(32).write.mode("overwrite").parquet(osm_path)
+    return pages_path, osm_path
+
+
+def run_pipeline(spark, pages_path: str, osm_path: str) -> dict:
+    """pages -> extract U1 -> dataset points -> conflate vs osm -> changes
+    + tiles + metrics; returns wall seconds + row counts."""
+    from pyspark.sql import functions as F
+
+    from osm_conflate_spark.config import ConflateConfig
+    from osm_conflate_spark.plans.pipeline import ConflatePipeline
+    from osm_conflate_spark.sources.extract import (
+        EXTRACT_SCHEMA,
+        extract_pages_iter,
+        poi_tags_map_sql,
+    )
+
+    cfg = ConflateConfig()
+    t0 = time.monotonic()
+    pages = spark.read.parquet(pages_path).select("url", "warc_ts", "html", "lang")
+    extracted = pages.mapInPandas(extract_pages_iter, EXTRACT_SCHEMA)
+    ds = extracted.select(
+        F.col("poi_id").alias("id"),
+        F.col("poi_lat").alias("lat"),
+        F.col("poi_lon").alias("lon"),
+        F.expr(poi_tags_map_sql("poi_tags_raw")).alias("tags"),
+        F.lit(None).cast("string").alias("category"),
+        F.lit(None).cast("string").alias("remarks"),
+        "url",
+    ).where(F.col("id").isNotNull())
+    osm = spark.read.parquet(osm_path).withColumn(
+        "tags", F.expr(poi_tags_map_sql("tags_raw"))
+    ).drop("tags_raw")
+    pipe = ConflatePipeline(spark, cfg)
+    res = pipe.run(ds, osm)
+    n_changes = res["changes"].count()
+    action_counts = {r["action"]: r["count"] for r in res["metrics"].collect()}
+    n_tiles = res["tiles"].count()
+    wall = time.monotonic() - t0
+    n_pages = pages.count()
+    return dict(
+        wall_sec=wall,
+        n_pages=n_pages,
+        n_changes=n_changes,
+        n_tiles=n_tiles,
+        actions=action_counts,
+        pages_per_sec=n_pages / wall,
+    )
+
+
+HEADLINE_QUERIES = [
+    "candidate_pairs", "greedy_match", "tiles_z12", "cell_index",
+    "dedup_exact", "minhash_pairs", "ngram_jaccard", "ann_topk",
+    "token_stats", "tpch_q1", "events_hourly",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    scaling = "--scaling" in sys.argv
+    pipeline_only = "--pipeline-only" in sys.argv
+
+    if scaling:
+        return run_scaling(sf_dir)
+
+    from osm_conflate_spark.plans.pipeline import build_session
+
+    spark = build_session(
+        app="bench", master=f"local[{cpus}]", shuffle_partitions=max(32, cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = sf_of(sf_dir)
+    import duckdb
+
+    n_pages = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchone()[0]
+    pages_path, osm_path = ensure_bench_tables(spark, int(n_pages))
+
+    # warmup (JIT + codegen + arrow init) then timed run
+    run_pipeline(spark, pages_path, osm_path)
+    pipe_res = run_pipeline(spark, pages_path, osm_path)
+
+    result = {
+        "metric": "conflate_e2e_wall_sec",
+        "value": round(pipe_res["wall_sec"], 3),
+        "unit": "sec",
+        "sf": sf,
+        "queries": {},
+        "pages_per_sec": round(pipe_res["pages_per_sec"], 1),
+        "n_pages": pipe_res["n_pages"],
+        "n_changes": pipe_res["n_changes"],
+        "cpus": cpus,
+    }
+    if pipeline_only:
+        print(json.dumps(result))
+        spark.stop()
+        return
+
+    import __spark_entry__ as em
+
+    for name in HEADLINE_QUERIES:
+        fn = em.queries()[name]
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        result["queries"][name] = round(time.monotonic() - t0, 3)
+    print(json.dumps(result))
+    spark.stop()
+
+
+def run_scaling(sf_dir: str):
+    """Scaling-efficiency evidence: same input, local[8] vs local[32]."""
+    out = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--pipeline-only"],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
+        out[cpus] = json.loads(line)
+        print(f"local[{cpus}]: {out[cpus]['value']}s "
+              f"({out[cpus]['pages_per_sec']} pages/s)", file=sys.stderr)
+    eff = out[32]["pages_per_sec"] / (4 * out[8]["pages_per_sec"])
+    summary = {
+        "metric": "scaling_efficiency_32_vs_8",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": sf_of(sf_dir),
+        "throughput_8": out[8]["pages_per_sec"],
+        "throughput_32": out[32]["pages_per_sec"],
+        "queries": {},
+    }
+    print(json.dumps(summary))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(
+            f"\n| scaling run sf={summary['sf']} | local[8] "
+            f"{out[8]['pages_per_sec']} pages/s ({out[8]['value']}s) | local[32] "
+            f"{out[32]['pages_per_sec']} pages/s ({out[32]['value']}s) | "
+            f"efficiency {summary['value']} |\n"
+        )
+    return summary
+
+
+if __name__ == "__main__":
+    main()

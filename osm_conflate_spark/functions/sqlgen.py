@@ -23,12 +23,22 @@ EARTH_R = 6378137.0
 M_PER_DEG = EARTH_R * math.pi / 180.0  # 111319.49079327358
 
 
+def dlit(x: float) -> str:
+    """DOUBLE literal portable across Spark SQL and DuckDB.
+
+    Spark parses bare decimal-point literals (``1.5``) as DECIMAL, DuckDB
+    as DOUBLE — E-notation (``1.5E0``) is DOUBLE in both.
+    """
+    s = repr(float(x))
+    return s if ("e" in s or "E" in s) else s + "E0"
+
+
 def distance_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     """Equirectangular distance in meters — bit-compatible with the
     reference ``conflate/data.py :: distance`` (SURVEY §2.3)."""
     return (
-        f"{EARTH_R!r} * sqrt("
-        f"pow(radians(({lon1}) - ({lon2})) * cos(0.5 * radians(({lat1}) + ({lat2}))), 2)"
+        f"{dlit(EARTH_R)} * sqrt("
+        f"pow(radians(({lon1}) - ({lon2})) * cos({dlit(0.5)} * radians(({lat1}) + ({lat2}))), 2)"
         f" + pow(radians(({lat1}) - ({lat2})), 2))"
     )
 
@@ -51,7 +61,7 @@ def band_sql(lat: str, cell_m: float) -> str:
     h = band_height_deg(cell_m)
     nb = n_bands(cell_m)
     return (
-        f"least(greatest(cast(floor((({lat}) + 90.0) / {h!r}) as bigint), "
+        f"least(greatest(cast(floor((({lat}) + {dlit(90.0)}) / {dlit(h)}) as bigint), "
         f"cast(0 as bigint)), cast({nb - 1} as bigint))"
     )
 
@@ -62,18 +72,18 @@ def ncols_sql(band: str, cell_m: float) -> str:
     h = band_height_deg(cell_m)
     # pole-nearest edge latitude of the band, capped at 90
     edge = (
-        f"least(greatest(abs(-90.0 + ({band}) * {h!r}), "
-        f"abs(-90.0 + (({band}) + 1) * {h!r})), 90.0)"
+        f"least(greatest(abs({dlit(-90.0)} + ({band}) * {dlit(h)}), "
+        f"abs({dlit(-90.0)} + (({band}) + 1) * {dlit(h)})), {dlit(90.0)})"
     )
     return (
-        f"greatest(cast(floor(360.0 * {M_PER_DEG!r} * cos(radians({edge})) / {cell_m!r}) "
+        f"greatest(cast(floor({dlit(360.0)} * {dlit(M_PER_DEG)} * cos(radians({edge})) / {dlit(cell_m)}) "
         f"as bigint), cast(1 as bigint))"
     )
 
 
 def col_sql(lon: str, ncols: str) -> str:
     return (
-        f"least(greatest(cast(floor(((({lon}) + 180.0) / 360.0) * ({ncols})) as bigint), "
+        f"least(greatest(cast(floor(((({lon}) + {dlit(180.0)}) / {dlit(360.0)}) * ({ncols})) as bigint), "
         f"cast(0 as bigint)), ({ncols}) - 1)"
     )
 
@@ -100,7 +110,7 @@ def cell_sql(lat: str, lon: str, cell_m: float) -> str:
 def tile_x_sql(lon: str, zoom: int) -> str:
     n = 1 << zoom
     return (
-        f"least(greatest(cast(floor((({lon}) + 180.0) / 360.0 * {n}.0) as bigint), "
+        f"least(greatest(cast(floor((({lon}) + {dlit(180.0)}) / {dlit(360.0)} * {dlit(n)}) as bigint), "
         f"cast(0 as bigint)), cast({n - 1} as bigint))"
     )
 
@@ -108,9 +118,9 @@ def tile_x_sql(lon: str, zoom: int) -> str:
 def tile_y_sql(lat: str, zoom: int) -> str:
     # asinh(tan(phi)) written as ln(tan(phi) + 1/cos(phi)) — DuckDB has no asinh.
     n = 1 << zoom
-    asinh_tan = f"ln(tan(radians({lat})) + 1.0 / cos(radians({lat})))"
+    asinh_tan = f"ln(tan(radians({lat})) + {dlit(1.0)} / cos(radians({lat})))"
     return (
-        f"least(greatest(cast(floor((1.0 - {asinh_tan} / pi()) / 2.0 * {n}.0) as bigint), "
+        f"least(greatest(cast(floor(({dlit(1.0)} - {asinh_tan} / pi()) / {dlit(2.0)} * {dlit(n)}) as bigint), "
         f"cast(0 as bigint)), cast({n - 1} as bigint))"
     )
 
@@ -123,9 +133,15 @@ def tile_y_sql(lat: str, zoom: int) -> str:
 
 def derived_lat_sql(key: str) -> str:
     """key (BIGINT) -> latitude in [-60, 60) via integer arithmetic."""
-    return f"((((({key}) * 7919 + 13) % 1200000) + 1200000) % 1200000) / 10000.0 - 60.0"
+    return (
+        f"((((({key}) * 7919 + 13) % 1200000) + 1200000) % 1200000) "
+        f"/ {dlit(10000.0)} - {dlit(60.0)}"
+    )
 
 
 def derived_lon_sql(key: str) -> str:
     """key (BIGINT) -> longitude in [-180, 180)."""
-    return f"((((({key}) * 104729 + 7) % 3600000) + 3600000) % 3600000) / 10000.0 - 180.0"
+    return (
+        f"((((({key}) * 104729 + 7) % 3600000) + 3600000) % 3600000) "
+        f"/ {dlit(10000.0)} - {dlit(180.0)}"
+    )

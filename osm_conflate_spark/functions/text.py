@@ -54,8 +54,8 @@ def _quality_parts(text: str, engine: str) -> dict:
 def quality_score_sql(text: str, engine: str) -> str:
     """Quality in [0,1]: alpha ratio x length saturation (cap 1000 chars)."""
     p = _quality_parts(text, engine)
-    alpha_ratio = f"({p['n_alpha']} * 1.0 / greatest({p['n_chars']}, 1))"
-    sat = f"least({p['n_chars']} / 1000.0, 1.0)"
+    alpha_ratio = f"({p['n_alpha']} * 1.0E0 / greatest({p['n_chars']}, 1))"
+    sat = f"least({p['n_chars']} / 1000.0E0, 1.0E0)"
     return f"round({alpha_ratio} * {sat}, 6)"
 
 
