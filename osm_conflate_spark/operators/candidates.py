@@ -87,14 +87,19 @@ def self_pairs(ds: DataFrame, cfg: ConflateConfig, radius: float) -> DataFrame:
     """Dataset self-join pairs strictly within ``radius`` (for D2).
 
     Emits each unordered pair once, oriented (small_id, big_id).
+
+    Uses its OWN grid sized to the radius (e.g. 2 m cells for the 1 m
+    duplicate_distance), NOT the 200 m match grid — at city densities the
+    coarse grid would blow the self-join up by (cell_m/radius)^2.
     """
+    grid_m = max(2.0, 2.0 * radius)
     left = (
         ds.select(
             F.col("id").alias("a_id"),
             F.col("lat").alias("a_lat"),
             F.col("lon").alias("a_lon"),
         )
-        .withColumn("cell", F.explode(geo.kring_col("a_lat", "a_lon", cfg.cell_m)))
+        .withColumn("cell", F.explode(geo.kring_col("a_lat", "a_lon", grid_m)))
     )
     right = (
         ds.select(
@@ -102,7 +107,7 @@ def self_pairs(ds: DataFrame, cfg: ConflateConfig, radius: float) -> DataFrame:
             F.col("lat").alias("b_lat"),
             F.col("lon").alias("b_lon"),
         )
-        .withColumn("cell", geo.cell_col("b_lat", "b_lon", cfg.cell_m))
+        .withColumn("cell", geo.cell_col("b_lat", "b_lon", grid_m))
     )
     dist_pre = F.expr(
         sqlgen.distance_sql("a_lat", "a_lon", "b_lat", "b_lon")

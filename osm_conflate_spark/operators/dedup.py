@@ -58,6 +58,8 @@ def spatial_dedup(ds: DataFrame, cfg: ConflateConfig, max_rounds: int = 64) -> D
         .select("a_id", "b_id")
         .localCheckpoint(eager=True)
     )
+    if pairs.limit(1).count() == 0:
+        return ds  # no duplicates anywhere — skip the fixpoint entirely
     ids = ds.select("id")
     kept = ids.join(pairs.select(F.col("b_id").alias("id")), "id", "left_anti")
     dropped = ids.limit(0)

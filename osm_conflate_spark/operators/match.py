@@ -53,6 +53,7 @@ _KERNEL_SCHEMA = T.StructType(
         T.StructField("dataset_id", T.StringType()),
         T.StructField("osm_pk", T.StringType()),
         T.StructField("dist", T.DoubleType()),
+        T.StructField("block", T.LongType()),
         T.StructField("status", T.StringType()),  # 'M' matched / 'D' deferred
     ]
 )
@@ -136,9 +137,43 @@ def _greedy_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     deferred = (~matched) & (
         (ds_state[ds_codes] != USED) & (osm_state[osm_codes] != USED)
     )
-    out = pdf.loc[matched | deferred, ["dataset_id", "osm_pk", "dist"]].copy()
+    out = pdf.loc[matched | deferred, ["dataset_id", "osm_pk", "dist", "block"]].copy()
     out["status"] = np.where(matched[matched | deferred], "M", "D")
     return out
+
+
+def _local_greedy_finish(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Exact sequential greedy on a small driver-collected remainder.
+
+    Valid because the live set is closed: every un-killed candidate pair
+    of every still-unmatched vertex is present (kernels emit all
+    non-dead pairs as deferred), so the continuation is the sequential
+    reference algorithm verbatim.
+    """
+    order = np.lexsort(
+        (pdf["osm_pk"].to_numpy(), pdf["dataset_id"].to_numpy(),
+         pdf["dist"].to_numpy(dtype=np.float64))
+    )
+    used_ds: set = set()
+    used_osm: set = set()
+    keep = []
+    ds_arr = pdf["dataset_id"].to_numpy()
+    osm_arr = pdf["osm_pk"].to_numpy()
+    for i in order:
+        d, o = ds_arr[i], osm_arr[i]
+        if d in used_ds or o in used_osm:
+            continue
+        used_ds.add(d)
+        used_osm.add(o)
+        keep.append(i)
+    return pdf.iloc[keep][["dataset_id", "osm_pk", "dist"]]
+
+
+# remainders smaller than this are finished exactly on the driver instead
+# of paying another distributed round (border pairs after round 1 are a
+# tiny fraction; at true cluster scale rounds stay distributed until the
+# remainder fits)
+_DRIVER_FINISH_MAX = 200_000
 
 
 def _exact_dist(pairs: DataFrame, max_distance: float) -> DataFrame:
@@ -161,6 +196,7 @@ def greedy_match(
     spark: SparkSession,
     pairs: DataFrame,
     cfg: ConflateConfig,
+    stats: Optional[dict] = None,
 ) -> DataFrame:
     """Candidate pairs -> exact greedy matched pairs
     (dataset_id, osm_pk, dist).
@@ -175,16 +211,35 @@ def greedy_match(
     live = live.localCheckpoint(eager=True)
 
     matched_parts: list[DataFrame] = []
+    live_per_round: list[int] = []
     for _round in range(cfg.max_match_rounds):
         n_live = live.count()
+        if stats is not None:
+            live_per_round.append(n_live)
+            stats["live_per_round"] = live_per_round
+            stats["rounds"] = len(live_per_round)
         if n_live == 0:
+            break
+        if _round >= 1 and n_live <= _DRIVER_FINISH_MAX:
+            rest = live.select("dataset_id", "osm_pk", "dist").toPandas()
+            done = _local_greedy_finish(rest)
+            if len(done):
+                matched_parts.append(
+                    spark.createDataFrame(
+                        done, "dataset_id string, osm_pk string, dist double"
+                    )
+                )
             break
 
         # skew guard: split oversized blocks by dataset_id hash (exact —
-        # splitting only widens the 'shared' set)
-        sizes = live.groupBy("block").count()
-        oversized = sizes.where(F.col("count") > cfg.salt_cap_pairs)
-        if oversized.limit(1).count() > 0:
+        # splitting only widens the 'shared' set); only worth checking
+        # when the total live count could even contain an oversized block
+        if n_live > cfg.salt_cap_pairs:
+            sizes = live.groupBy("block").count()
+            oversized = sizes.where(F.col("count") > cfg.salt_cap_pairs)
+        else:
+            oversized = None
+        if oversized is not None and oversized.limit(1).count() > 0:
             nsplit = 16
             live = live.join(
                 F.broadcast(oversized.select("block").withColumn("oversized", F.lit(True))),
@@ -215,22 +270,18 @@ def greedy_match(
             _greedy_kernel, _KERNEL_SCHEMA
         )
         result = result.localCheckpoint(eager=True)
-        matched_new = result.where(F.col("status") == "M").drop("status")
+        matched_new = result.where(F.col("status") == "M").drop("status", "block")
         matched_parts.append(matched_new)
 
         deferred = result.where(F.col("status") == "D").drop("status")
-        # kill deferred pairs touching endpoints consumed anywhere
-        deferred = deferred.join(
-            matched_new.select("dataset_id"), "dataset_id", "left_anti"
-        ).join(matched_new.select("osm_pk"), "osm_pk", "left_anti")
-        # re-attach block (kernel output dropped it) from the pair table
+        # kill deferred pairs whose endpoints were consumed in OTHER blocks
+        # (in-block kills already happened inside the kernel)
         live = deferred.join(
-            live.select("dataset_id", "osm_pk", "block"),
-            ["dataset_id", "osm_pk"],
+            matched_new.select("osm_pk"), "osm_pk", "left_anti"
         ).localCheckpoint(eager=True)
 
     if not matched_parts:
-        return spark.createDataFrame([], _KERNEL_SCHEMA).drop("status")
+        return spark.createDataFrame([], _KERNEL_SCHEMA).drop("status", "block")
     out = matched_parts[0]
     for part in matched_parts[1:]:
         out = out.unionByName(part)
