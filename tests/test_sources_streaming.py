@@ -1,0 +1,173 @@
+"""Tests: OSM XML ingest SRC5, CSV/JSON dataset readers SRC2, streaming
+rollup/dedup (batch == streaming results), CLI end-to-end, audit J6 in
+the Spark engine, osc/geojson structure."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_conflate_spark.config import ConflateConfig
+from osm_conflate_spark import reference_model as rm
+from osm_conflate_spark.gen import gen_dataset, gen_osm, gen_pages
+from osm_conflate_spark.plans.pipeline import ConflatePipeline
+from osm_conflate_spark.sources import dataset as src_ds
+from osm_conflate_spark.sources.osm_xml import read_osm_xml
+from osm_conflate_spark.streaming import events as stv
+
+from helpers import ds_to_oracle, ds_to_spark, osm_to_oracle, osm_to_spark, \
+    changes_set_oracle, changes_set_spark
+
+SF = "/root/testdata/sf0.001"
+
+OSM_XML = """<?xml version='1.0'?>
+<osm version="0.6">
+ <node id="11" version="3" lat="52.5" lon="13.4">
+   <tag k="amenity" v="cafe"/><tag k="name" v="A &amp; B"/>
+ </node>
+ <node id="12" version="1" lat="52.6" lon="13.5"/>
+ <way id="21" version="2">
+   <center lat="52.51" lon="13.41"/>
+   <nd ref="11"/><tag k="building" v="yes"/>
+ </way>
+ <relation id="31" version="1">
+   <center lat="52.52" lon="13.42"/><tag k="type" v="multipolygon"/>
+ </relation>
+</osm>"""
+
+
+def test_osm_xml_ingest(spark):
+    df = spark.createDataFrame([(OSM_XML,)], "xml string")
+    rows = {(r["osm_type"], r["osm_id"]): r for r in read_osm_xml(df).collect()}
+    assert set(rows) == {("node", 11), ("way", 21), ("relation", 31)}  # untagged skipped
+    assert rows[("node", 11)]["version"] == 3
+    assert rows[("node", 11)]["tags"]["name"] == "A & B"
+    assert abs(rows[("way", 21)]["lat"] - 52.51) < 1e-12  # center collapse
+
+
+def test_csv_json_readers(spark, tmp_path):
+    csv = tmp_path / "d.csv"
+    csv.write_text("id,lat,lon,name,amenity\nx1,52.5,13.4,Cafe X,cafe\n")
+    df = src_ds.from_csv(spark, str(csv), tag_cols=("name", "amenity"))
+    r = df.collect()[0]
+    assert r["id"] == "x1" and r["tags"]["name"] == "Cafe X"
+
+    js = tmp_path / "d.json"
+    js.write_text(json.dumps({"id": "y1", "lat": 1.0, "lon": 2.0,
+                              "tags": {"name": "Y"}}) + "\n")
+    r2 = src_ds.from_json(spark, str(js)).collect()[0]
+    assert r2["id"] == "y1" and r2["tags"] == {"name": "Y"}
+
+
+def test_from_pages_matches_generator(spark):
+    ds = gen_dataset(40, seed=11, dup_id_frac=0, spatial_dup_frac=0)
+    pages = gen_pages(ds, seed=11)
+    sdf = spark.createDataFrame(
+        pages[["url", "warc_ts", "html", "lang"]],
+        schema="url string, warc_ts timestamp, html binary, lang string",
+    )
+    out = src_ds.from_pages(sdf)
+    got = {r["id"]: r for r in out.collect()}
+    assert set(got) == set(ds["id"])
+    for i in range(len(ds)):
+        assert abs(got[ds["id"].iloc[i]]["lat"] - ds["lat"].iloc[i]) < 1e-12
+
+
+def test_streaming_equals_batch(spark, tmp_path):
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    stream_dir = str(tmp_path / "ev")
+    events.repartition(4).write.parquet(stream_dir)
+
+    batch = {(r["hour_epoch"], r["event_type"], r["n"], r["total"])
+             for r in stv.hourly_rollup(events).collect()}
+    stream = stv.read_events_stream(spark, stream_dir)
+    # complete mode keeps all window state, so the drained stream must
+    # equal the batch aggregate exactly (append mode would only emit
+    # windows the watermark has closed — bounded-state semantics)
+    stv.run_to_memory_sink(
+        stv.hourly_rollup(stream), "hr", output_mode="complete"
+    )
+    got = {(r["hour_epoch"], r["event_type"], r["n"], r["total"])
+           for r in spark.sql("SELECT * FROM hr").collect()}
+    assert got == batch
+
+    stv.run_to_memory_sink(stv.streaming_dedup(stream), "dd")
+    n = spark.sql("SELECT count(DISTINCT event_id) c FROM dd").collect()[0]["c"]
+    assert n == events.select("event_id").distinct().count()
+
+
+def test_audit_overrides_spark_equals_oracle(spark):
+    ds_pdf = gen_dataset(80, seed=21, dup_id_frac=0, spatial_dup_frac=0)
+    osm_pdf = gen_osm(ds_pdf, seed=22)
+    cfg = ConflateConfig()
+    # audit: skip first id, forbid move on second, keep one orphan ref id
+    a_skip = ds_pdf["id"].iloc[0]
+    a_nomove = ds_pdf["id"].iloc[1]
+    orphan_ref = "gone0000001"
+    audit = {
+        a_skip: {"skip": True},
+        a_nomove: {"move": False},
+        orphan_ref: {"keep": True},
+    }
+    res_o = rm.conflate(ds_to_oracle(ds_pdf), osm_to_oracle(osm_pdf), cfg, audit)
+    audit_df = spark.createDataFrame(
+        [
+            (a_skip, True, False, True),
+            (a_nomove, False, False, False),
+            (orphan_ref, False, True, True),
+        ],
+        "dataset_id string, skip boolean, keep boolean, move boolean",
+    )
+    pipe = ConflatePipeline(spark, cfg)
+    res_s = pipe.run(
+        ds_to_spark(spark, ds_pdf), osm_to_spark(spark, osm_pdf), audit=audit_df
+    )
+    assert changes_set_spark(res_s["changes"]) == changes_set_oracle(res_o)
+
+
+def test_osc_and_geojson_structure(spark):
+    ds_pdf = gen_dataset(30, seed=31, dup_id_frac=0, spatial_dup_frac=0)
+    osm_pdf = gen_osm(ds_pdf, seed=32)
+    pipe = ConflatePipeline(spark, ConflateConfig())
+    res = pipe.run(ds_to_spark(spark, ds_pdf), osm_to_spark(spark, osm_pdf))
+    osc = res["osc"].collect()
+    assert osc
+    import xml.etree.ElementTree as ET
+
+    for r in osc:
+        el = ET.fromstring(r["xml"])  # every row is well-formed XML
+        assert el.tag in ("node", "way", "relation")
+        assert el.get("id") is not None and el.get("version") is not None
+    for r in res["geojson"].collect():
+        f = json.loads(r["feature"])
+        assert f["type"] == "Feature" and f["geometry"]["type"] == "Point"
+        assert f["properties"]["marker_color"].startswith("#")
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    ds_pdf = gen_dataset(50, seed=41, dup_id_frac=0, spatial_dup_frac=0)
+    osm_pdf = gen_osm(ds_pdf, seed=42)
+    pages = gen_pages(ds_pdf, seed=41)
+    pages_path = str(tmp_path / "pages")
+    osm_path = str(tmp_path / "osm")
+    spark.createDataFrame(
+        pages[["url", "warc_ts", "html", "lang"]],
+        schema="url string, warc_ts timestamp, html binary, lang string",
+    ).write.parquet(pages_path)
+    spark.createDataFrame(
+        osm_pdf.drop(columns=["kind"]),
+        schema="osm_type string, osm_id long, version int, lat double, lon double, tags_raw string",
+    ).write.parquet(osm_path)
+
+    from osm_conflate_spark.cli import main
+
+    out = str(tmp_path / "out")
+    main(["--pages", pages_path, "--osm", osm_path, "--out", out])
+    assert os.path.exists(os.path.join(out, "changes_out"))
+    changes = spark.read.parquet(os.path.join(out, "changes_out"))
+    assert changes.count() > 0
+    lineage = spark.read.parquet(os.path.join(out, "lineage_out"))
+    assert lineage.count() > 0
+    # resume: rerunning must reuse checkpoints (stage manifests exist)
+    assert os.path.exists(os.path.join(out, "match.manifest.json"))
