@@ -207,6 +207,33 @@ SELECT dk AS dataset_key, ok AS osm_key, round(dist, 3) AS dist_m
 FROM g WHERE typ = 'match'
 """
 
+# Full change-set oracle: the greedy CTE result + the reference change
+# rules replayed in SQL.  With the derived tag maps (only 'name', no
+# 'ref:'), every matched pair becomes a modify (ref stamping always
+# changes tags); nodes farther than position_tolerance move to the
+# dataset coords; unmatched dataset points create; the derived OSM side
+# carries no ref and no 'amenity' tag, so deletes/retags are empty.
+_CHANGES_ORACLE = (
+    _GREEDY_ORACLE.replace(
+        "SELECT dk AS dataset_key, ok AS osm_key, round(dist, 3) AS dist_m\n"
+        "FROM g WHERE typ = 'match'",
+        f""",
+matched AS (SELECT dk, ok, dist FROM g WHERE typ = 'match'),
+d AS ({_DS_PTS}), m AS ({_OSM_PTS})
+SELECT 'modify' AS action, 'node' AS osm_type, matched.ok AS osm_id,
+       round(CASE WHEN dist > 0.1E0 THEN d.lat ELSE m.lat END, 6) AS lat6,
+       round(CASE WHEN dist > 0.1E0 THEN d.lon ELSE m.lon END, 6) AS lon6,
+       CAST(matched.dk AS VARCHAR) AS dataset_id
+FROM matched JOIN d ON d.k = matched.dk JOIN m ON m.k = matched.ok
+UNION ALL
+SELECT 'create' AS action, 'node' AS osm_type, CAST(NULL AS BIGINT) AS osm_id,
+       round(d.lat, 6) AS lat6, round(d.lon, 6) AS lon6,
+       CAST(d.k AS VARCHAR) AS dataset_id
+FROM d WHERE d.k NOT IN (SELECT dk FROM matched)
+""",
+    )
+)
+
 
 def _derived_points(spark: SparkSession, sf_dir: str):
     _register(spark, sf_dir)
@@ -416,6 +443,7 @@ def oracle_sql() -> dict[str, str]:
     out["ngram_jaccard"] = _NGRAM_JACCARD_DUCK
     out["embedding_dup"] = _EMBEDDING_DUP_DUCK
     out["ann_topk"] = _ANN_TOPK_DUCK
+    out["conflate_changes"] = _CHANGES_ORACLE
     # minhash_pairs / simhash_pairs / fingerprint / conflate_changes:
     # xxhash64-based or engine-internal — rows-only checks (pytest holds
     # the python-twin oracles for these).

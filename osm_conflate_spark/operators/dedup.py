@@ -112,13 +112,19 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def word_ngrams_col(text_col: str, n: int = 3):
-    """Distinct word n-grams of lower-cased whitespace tokens."""
+    """Distinct word n-grams of lower-cased whitespace tokens.
+
+    The token array is bound ONCE via a higher-order transform over a
+    single-element wrapper — naively inlining the split() into every
+    element_at makes Catalyst re-split per gram element (O(words^2)/doc).
+    """
     toks = f"filter(split(lower({text_col}), ' '), x -> x != '')"
-    parts = ", ".join(f"element_at({toks}, i + {j + 1})" for j in range(n))
+    parts = ", ".join(f"element_at(t, i + {j + 1})" for j in range(n))
     return F.expr(
-        f"array_distinct(CASE WHEN size({toks}) >= {n} "
-        f"THEN transform(sequence(0, size({toks}) - {n}), i -> concat_ws(' ', {parts})) "
-        f"ELSE array(concat_ws(' ', {toks})) END)"
+        f"array_distinct(flatten(transform(array({toks}), t -> "
+        f"CASE WHEN size(t) >= {n} "
+        f"THEN transform(sequence(0, size(t) - {n}), i -> concat_ws(' ', {parts})) "
+        f"ELSE array(concat_ws(' ', t)) END)))"
     )
 
 

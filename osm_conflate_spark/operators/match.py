@@ -74,6 +74,9 @@ def _block_col(cfg: ConflateConfig):
 
 def _greedy_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     """Vectorized block-local greedy with provable-commit rule."""
+    import time as _time
+
+    _t0 = _time.monotonic()
     n = len(pdf)
     dist = pdf["dist"].to_numpy(dtype=np.float64)
     ds_codes, _ = pd.factorize(pdf["dataset_id"].to_numpy())
@@ -139,7 +142,18 @@ def _greedy_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     )
     out = pdf.loc[matched | deferred, ["dataset_id", "osm_pk", "dist", "block"]].copy()
     out["status"] = np.where(matched[matched | deferred], "M", "D")
-    return out
+    # per-group lineage row ('L'): n_in/n_out packed in the string cols,
+    # wall ms in dist — split back out by greedy_match
+    lineage = pd.DataFrame(
+        {
+            "dataset_id": [str(n)],
+            "osm_pk": [str(int(matched.sum()))],
+            "dist": [(_time.monotonic() - _t0) * 1000.0],
+            "block": [pdf["block"].iloc[0] if n else -1],
+            "status": ["L"],
+        }
+    )
+    return pd.concat([out, lineage], ignore_index=True)
 
 
 def _local_greedy_finish(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -270,6 +284,12 @@ def greedy_match(
             _greedy_kernel, _KERNEL_SCHEMA
         )
         result = result.localCheckpoint(eager=True)
+        if stats is not None:
+            stats.setdefault("groups", []).extend(
+                dict(block=r["block"], n_in=int(r["dataset_id"]),
+                     n_matched=int(r["osm_pk"]), wall_ms=r["dist"], round=_round)
+                for r in result.where(F.col("status") == "L").collect()
+            )
         matched_new = result.where(F.col("status") == "M").drop("status", "block")
         matched_parts.append(matched_new)
 

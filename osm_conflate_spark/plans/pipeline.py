@@ -77,7 +77,14 @@ class ConflatePipeline:
                 audit.where(F.col("skip")).select(F.col("dataset_id"))
             )
             pairs = pairs.join(skips, "dataset_id", "left_anti")
-        matched = greedy_match(self.spark, pairs, self.cfg)
+        stats: dict = {}
+        matched = greedy_match(self.spark, pairs, self.cfg, stats=stats)
+        self.last_match_stats = stats
+        for g in stats.get("groups", []):
+            self.runner.lineage.append(
+                dict(stage="match_kernel", group_id=g["block"], n_in=g["n_in"],
+                     n_out=g["n_matched"], wall_ms=g["wall_ms"], resumed=False)
+            )
         return matched, vicinity
 
     # -- full run -------------------------------------------------------------
@@ -142,6 +149,9 @@ def build_session(
     return (
         b.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # the osm side of the cell join is often broadcastable locally;
+        # on a real cluster AQE makes the same call from runtime stats
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
