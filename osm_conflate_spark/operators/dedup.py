@@ -58,9 +58,36 @@ def spatial_dedup(ds: DataFrame, cfg: ConflateConfig, max_rounds: int = 64) -> D
         .select("a_id", "b_id")
         .localCheckpoint(eager=True)
     )
-    if pairs.limit(1).count() == 0:
-        return ds  # no duplicates anywhere — skip the fixpoint entirely
-    ids = ds.select("id")
+    # The fixpoint only ever touches ids that APPEAR IN A DUP PAIR — a
+    # tiny set (points with a <duplicate_distance neighbor).  Everything
+    # else is trivially kept; the full dataset is touched exactly twice
+    # (the self-join above and the final anti-join below).
+    dup_pairs = pairs.toPandas()
+    if len(dup_pairs) == 0:
+        return ds
+    if len(dup_pairs) <= 5_000_000:
+        # driver-resolved: sequential ids-ascending scan over the dup
+        # graph (exact oracle semantics, zero extra cluster rounds)
+        import pandas as pd
+
+        by_b: dict = {}
+        ids_in = sorted(set(dup_pairs["a_id"]) | set(dup_pairs["b_id"]))
+        for a, b in zip(dup_pairs["a_id"], dup_pairs["b_id"]):
+            by_b.setdefault(b, []).append(a)
+        status: dict = {}
+        for p in ids_in:  # ascending; a_id < b_id always
+            smaller = by_b.get(p, [])
+            status[p] = "D" if any(status.get(a) == "K" for a in smaller) else "K"
+        dropped_ids = [p for p, s in status.items() if s == "D"]
+        spark = ds.sparkSession
+        dropped = spark.createDataFrame(
+            pd.DataFrame({"id": dropped_ids}), "id string"
+        )
+        return ds.join(F.broadcast(dropped), "id", "left_anti")
+    # distributed fixpoint fallback for pathological dup volumes
+    ids = pairs.select(F.col("a_id").alias("id")).unionByName(
+        pairs.select(F.col("b_id").alias("id"))
+    ).distinct().localCheckpoint(eager=True)
     kept = ids.join(pairs.select(F.col("b_id").alias("id")), "id", "left_anti")
     dropped = ids.limit(0)
     edges = pairs

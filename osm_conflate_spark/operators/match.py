@@ -206,6 +206,16 @@ def _exact_dist(pairs: DataFrame, max_distance: float) -> DataFrame:
     )
 
 
+def prepare_pairs(pairs: DataFrame, cfg: ConflateConfig) -> DataFrame:
+    """Candidate pairs -> slim (dataset_id, osm_pk, dist, block) with the
+    authoritative numpy distance and the exact cutoff applied."""
+    return (
+        _exact_dist(pairs, cfg.max_distance)
+        .withColumn("block", _block_col(cfg))
+        .select("dataset_id", "osm_pk", "dist", "block")
+    )
+
+
 def greedy_match(
     spark: SparkSession,
     pairs: DataFrame,
@@ -219,9 +229,10 @@ def greedy_match(
     osm_lon, dist_pre, ds_cell) as produced by
     :func:`..operators.candidates.candidate_pairs`.
     """
-    live = _exact_dist(pairs, cfg.max_distance).withColumn(
-        "block", _block_col(cfg)
-    ).select("dataset_id", "osm_pk", "dist", "block")
+    if "dist" in pairs.columns and "block" in pairs.columns:
+        live = pairs.select("dataset_id", "osm_pk", "dist", "block")
+    else:
+        live = prepare_pairs(pairs, cfg)
     live = live.localCheckpoint(eager=True)
 
     matched_parts: list[DataFrame] = []

@@ -69,8 +69,12 @@ class ConflatePipeline:
         broadcast_osm: bool = False,
     ) -> tuple[DataFrame, DataFrame]:
         """Returns (matched_pairs, vicinity)."""
+        from ..operators.match import prepare_pairs
+
         pairs = candidate_pairs(ds, osm_pk_df, self.cfg, broadcast_osm=broadcast_osm)
-        pairs = pairs.localCheckpoint(eager=True)
+        # ONE materialization of the slim (id, pk, dist, block) pair table
+        # serves the vicinity set, the audit skip, and the matcher
+        pairs = prepare_pairs(pairs, self.cfg).localCheckpoint(eager=True)
         vicinity = pairs.select("osm_pk").distinct()
         if audit is not None:
             skips = F.broadcast(
@@ -108,8 +112,12 @@ class ConflatePipeline:
 
         matched = r.run("match", _match)
         if "vicinity" not in matched_box:  # match stage resumed from parquet
+            from ..operators.match import prepare_pairs
+
             pairs = candidate_pairs(ds, osm, self.cfg, broadcast_osm=broadcast_osm)
-            matched_box["vicinity"] = pairs.select("osm_pk").distinct()
+            matched_box["vicinity"] = (
+                prepare_pairs(pairs, self.cfg).select("osm_pk").distinct()
+            )
         changes = r.run(
             "changes",
             lambda: chg.build_changes(
