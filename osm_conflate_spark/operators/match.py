@@ -278,21 +278,38 @@ def greedy_match(
                 ).otherwise(F.col("block") * nsplit),
             ).drop("oversized")
 
+        # One kernel invocation per PARTITION, not per block: a hash
+        # partition is a union of whole blocks, so the invariant "all of
+        # a dataset point's pairs are co-resident" still holds, and the
+        # per-group applyInPandas overhead (huge for sparse-world blocks
+        # with 1-2 pairs each) disappears.  'shared' is computed against
+        # the PARTITION assignment (same murmur3+pmod Spark's
+        # HashPartitioning uses), so only genuinely cross-kernel OSM
+        # points defer.
+        n_parts = int(max(16, min(2048, n_live // 100_000 + 1)))
+        part_of_block = F.pmod(F.hash("block"), F.lit(n_parts))
         key = F.struct(F.col("dist"), F.col("dataset_id"), F.col("osm_pk"))
         osm_stats = live.groupBy("osm_pk").agg(
             F.min(key).alias("osm_min"),
-            F.countDistinct("block").alias("nblocks"),
+            F.countDistinct(part_of_block).alias("nparts"),
         )
         enriched = live.join(osm_stats, "osm_pk").select(
             "dataset_id",
             "osm_pk",
             "dist",
             "block",
-            (F.col("nblocks") > 1).alias("shared"),
+            (F.col("nparts") > 1).alias("shared"),
             (key == F.col("osm_min")).alias("is_gmin"),
         )
-        result = enriched.groupBy("block").applyInPandas(
-            _greedy_kernel, _KERNEL_SCHEMA
+
+        def _kernel_iter(batches):
+            pdfs = list(batches)
+            if not pdfs:
+                return
+            yield _greedy_kernel(pd.concat(pdfs, ignore_index=True))
+
+        result = enriched.repartition(n_parts, "block").mapInPandas(
+            _kernel_iter, _KERNEL_SCHEMA
         )
         result = result.localCheckpoint(eager=True)
         if stats is not None:
