@@ -103,6 +103,11 @@ class ConflatePipeline:
         r = self.runner
         ds = r.run("dataset_prep", lambda: self.prepare_dataset(ds_raw))
         osm = r.run("osm_prep", lambda: self.prepare_osm(osm_raw))
+        if not r.out_dir:
+            # ds/osm feed 3+ downstream branches (match, changes, tiles) —
+            # without the parquet checkpoint they'd recompute per branch
+            ds = ds.localCheckpoint(eager=True)
+            osm = osm.localCheckpoint(eager=True)
         matched_box: dict = {}
 
         def _match():
