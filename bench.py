@@ -52,6 +52,11 @@ def ensure_bench_tables(spark, n_pages: int):
             n = min(chunk, n_pages - off)
             ds = gen_dataset(n, seed=42 + off)
             ds["id"] = ds["id"] + f"_{off}"
+            # shift each chunk east so city density stays CONSTANT as the
+            # table grows (stacked chunks would make candidate-pair volume
+            # grow quadratically — not how a bigger crawl behaves)
+            shift = (off // chunk) * 1.37
+            ds["lon"] = ((ds["lon"] + 180.0 + shift) % 360.0) - 180.0
             ds_parts.append(ds)
         import pandas as pd
 
