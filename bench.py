@@ -107,8 +107,8 @@ def run_pipeline(spark, pages_path: str, osm_path: str) -> dict:
     ).drop("tags_raw")
     pipe = ConflatePipeline(spark, cfg)
     res = pipe.run(ds, osm)
-    n_changes = res["changes"].count()
     action_counts = {r["action"]: r["count"] for r in res["metrics"].collect()}
+    n_changes = sum(action_counts.values())  # one pass over the changes DAG
     n_tiles = res["tiles"].count()
     wall = time.monotonic() - t0
     n_pages = pages.count()
@@ -203,7 +203,11 @@ def run_scaling(sf_dir: str):
             [sys.executable, os.path.abspath(__file__), "--pipeline-only"],
             env=env, capture_output=True, text=True, timeout=3600,
         )
-        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
+        lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+        if not lines:
+            sys.stderr.write(p.stderr[-4000:] + "\n")
+            raise RuntimeError(f"local[{cpus}] leg produced no result")
+        line = lines[-1]
         out[cpus] = json.loads(line)
         print(f"local[{cpus}]: {out[cpus]['value']}s "
               f"({out[cpus]['pages_per_sec']} pages/s)", file=sys.stderr)

@@ -230,10 +230,11 @@ def greedy_match(
     :func:`..operators.candidates.candidate_pairs`.
     """
     if "dist" in pairs.columns and "block" in pairs.columns:
+        # caller handed a prepared (and typically checkpointed) pair
+        # table — don't pay a second full copy
         live = pairs.select("dataset_id", "osm_pk", "dist", "block")
     else:
-        live = prepare_pairs(pairs, cfg)
-    live = live.localCheckpoint(eager=True)
+        live = prepare_pairs(pairs, cfg).localCheckpoint(eager=True)
 
     matched_parts: list[DataFrame] = []
     live_per_round: list[int] = []

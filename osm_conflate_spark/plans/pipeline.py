@@ -55,6 +55,10 @@ class ConflatePipeline:
         ds = tagfns.apply_transform(ds, "tags", cfg)
         if "category" in ds.columns:
             ds = tagfns.apply_categories(ds, "tags", cfg)
+        # materialize BEFORE the dedup self-join: the extracted+deduped
+        # frame feeds the self-join, the post-dedup anti-join, and every
+        # downstream stage — without this the extractor runs 2-3x
+        ds = ds.localCheckpoint(eager=True)
         return spatial_dedup(ds, cfg)
 
     def prepare_osm(self, osm: DataFrame) -> DataFrame:
@@ -104,9 +108,9 @@ class ConflatePipeline:
         ds = r.run("dataset_prep", lambda: self.prepare_dataset(ds_raw))
         osm = r.run("osm_prep", lambda: self.prepare_osm(osm_raw))
         if not r.out_dir:
-            # ds/osm feed 3+ downstream branches (match, changes, tiles) —
-            # without the parquet checkpoint they'd recompute per branch
-            ds = ds.localCheckpoint(eager=True)
+            # osm feeds 3+ downstream branches; ds is already materialized
+            # inside prepare_dataset (pre-dedup checkpoint) and only the
+            # cheap anti-join re-runs per branch
             osm = osm.localCheckpoint(eager=True)
         matched_box: dict = {}
 
