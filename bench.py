@@ -112,6 +112,10 @@ def run_pipeline(spark, pages_path: str, osm_path: str) -> dict:
     n_tiles = res["tiles"].count()
     wall = time.monotonic() - t0
     n_pages = pages.count()
+    # free every localCheckpoint the run pinned — a warmup run would
+    # otherwise leave GBs resident and throttle the timed run
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
     return dict(
         wall_sec=wall,
         n_pages=n_pages,
