@@ -50,6 +50,10 @@ class ConflateConfig:
     #: '-' prefix = delete tag, '+' prefix = set only if absent,
     #: or a callable str->str (applied via vectorized pandas UDF).
     transform: tuple = ()
+    #: J3 — custom match predicate: callable(osm_tags: dict, ds_tags: dict)
+    #: -> bool vetoing candidate pairs before greedy (reference profile
+    #: ``matches`` hook); None = always-true
+    matches: Optional[Callable] = None
 
     # --- engine-only knobs -------------------------------------------------
     #: matched nodes farther than this from the dataset point are moved (X3)

@@ -220,6 +220,38 @@ def build_changes(
 
 
 # ---------------------------------------------------------------------------
+# J7 — moveability check (offline)
+# ---------------------------------------------------------------------------
+
+def moveability(changes: DataFrame, node_way_membership: DataFrame | None) -> DataFrame:
+    """Annotate change rows with ``can_move``: a modified NODE that is a
+    member of any way must not be moved.
+
+    Reference: ``conflate/osm.py :: check_moveability`` queries the OSM
+    API per node; offline re-expression: broadcast-join against a
+    ``node_way_membership(node_id, way_id)`` table when one is provided,
+    else ``can_move`` is NULL (documented gap — no API at 100 TB scale).
+    """
+    if node_way_membership is None:
+        return changes.withColumn("can_move", F.lit(None).cast("boolean"))
+    members = F.broadcast(
+        node_way_membership.select(F.col("node_id").alias("osm_id"))
+        .distinct()
+        .withColumn("_in_way", F.lit(True))
+    )
+    is_movable_row = (F.col("action") == "modify") & (F.col("osm_type") == "node")
+    return (
+        changes.join(members, "osm_id", "left")
+        .withColumn(
+            "can_move",
+            F.when(is_movable_row, ~F.coalesce(F.col("_in_way"), F.lit(False)))
+            .otherwise(F.lit(None).cast("boolean")),
+        )
+        .drop("_in_way")
+    )
+
+
+# ---------------------------------------------------------------------------
 # X5 — osmChange XML rows (JVM-side string assembly)
 # ---------------------------------------------------------------------------
 

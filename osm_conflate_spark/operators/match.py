@@ -206,6 +206,38 @@ def _exact_dist(pairs: DataFrame, max_distance: float) -> DataFrame:
     )
 
 
+def apply_match_predicate(
+    pairs: DataFrame, ds: DataFrame, osm_pk_df: DataFrame, cfg: ConflateConfig
+) -> DataFrame:
+    """J3 — veto candidate pairs with the profile ``matches(osm_tags,
+    ds_tags)`` hook (reference ``conflate/conflate.py`` candidate filter).
+
+    The hook is arbitrary user Python, so this is the one sanctioned
+    Python-per-element path — Arrow-batched through a pandas UDF, only
+    ever executed when a profile actually installs a hook.
+    """
+    fn = cfg.matches
+    assert fn is not None
+
+    @F.pandas_udf("boolean")
+    def _ok(osm_tags: pd.Series, ds_tags: pd.Series) -> pd.Series:
+        return pd.Series(
+            [bool(fn(o if o is not None else {}, d if d is not None else {}))
+             for o, d in zip(osm_tags, ds_tags)]
+        )
+
+    joined = (
+        pairs.join(
+            ds.select(F.col("id").alias("dataset_id"), F.col("tags").alias("ds_tags")),
+            "dataset_id",
+        )
+        .join(
+            osm_pk_df.select("osm_pk", F.col("tags").alias("osm_tags")), "osm_pk"
+        )
+    )
+    return joined.where(_ok("osm_tags", "ds_tags")).drop("ds_tags", "osm_tags")
+
+
 def prepare_pairs(pairs: DataFrame, cfg: ConflateConfig) -> DataFrame:
     """Candidate pairs -> slim (dataset_id, osm_pk, dist, block) with the
     authoritative numpy distance and the exact cutoff applied."""

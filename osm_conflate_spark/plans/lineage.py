@@ -21,9 +21,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 def config_hash(cfg) -> str:
     d = asdict(cfg) if is_dataclass(cfg) else dict(cfg)
+
+    def stable(v):
+        # callables hash by qualified name, not memory address, so the
+        # resume cache stays valid across processes
+        if callable(v):
+            return getattr(v, "__qualname__", repr(v.__class__))
+        return repr(v)
+
     payload = json.dumps(
-        {k: v for k, v in sorted(d.items()) if not callable(v)},
-        default=repr, sort_keys=True,
+        {k: stable(v) if callable(v) else v for k, v in sorted(d.items())},
+        default=stable, sort_keys=True,
     )
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 

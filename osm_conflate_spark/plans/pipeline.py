@@ -73,13 +73,17 @@ class ConflatePipeline:
         broadcast_osm: bool = False,
     ) -> tuple[DataFrame, DataFrame]:
         """Returns (matched_pairs, vicinity)."""
-        from ..operators.match import prepare_pairs
+        from ..operators.match import apply_match_predicate, prepare_pairs
 
         pairs = candidate_pairs(ds, osm_pk_df, self.cfg, broadcast_osm=broadcast_osm)
         # ONE materialization of the slim (id, pk, dist, block) pair table
         # serves the vicinity set, the audit skip, and the matcher
         pairs = prepare_pairs(pairs, self.cfg).localCheckpoint(eager=True)
+        # vicinity (J5) uses the RAW radius candidates — computed before
+        # the J3 predicate veto, matching the reference
         vicinity = pairs.select("osm_pk").distinct()
+        if self.cfg.matches is not None:
+            pairs = apply_match_predicate(pairs, ds, osm_pk_df, self.cfg)
         if audit is not None:
             skips = F.broadcast(
                 audit.where(F.col("skip")).select(F.col("dataset_id"))
@@ -157,6 +161,18 @@ def build_session(
     width.  On a real cluster, spark-submit conf wins — we only set
     semantics-relevant options."""
     import os
+
+    # executor python workers inherit PYTHONPATH from the JVM process env,
+    # NOT the driver's sys.path — make the package importable for them
+    # (spark-submit users pass --py-files instead; this covers library use)
+    pkg_parent = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + pp if pp else "")
+        )
 
     b = SparkSession.builder.appName(app)
     if master:

@@ -175,6 +175,9 @@ def greedy_match(
         for op in osm:
             d = distance(sp.lat, sp.lon, op.lat, op.lon)
             if d <= cfg.max_distance:
+                # J3 — profile matches(osm_tags, ds_tags) candidate veto
+                if cfg.matches is not None and not cfg.matches(op.tags, sp.tags):
+                    continue
                 pairs.append((d, sp.id, op.key))
     pairs.sort()
     used_ds: set[str] = set()

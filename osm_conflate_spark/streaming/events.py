@@ -60,6 +60,22 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return src.dropDuplicates(["event_id"])
 
 
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, lang string"
+
+
+def read_pages_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """Streaming ingest of the Common-Crawl-style pages table; compose
+    with ``sources.dataset.from_pages`` — the SAME frozen extractor runs
+    unchanged on the micro-batches (mapInPandas is streaming-safe)."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ):
