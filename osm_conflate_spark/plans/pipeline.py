@@ -182,11 +182,11 @@ def build_session(
     return (
         b.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # the osm side of the cell join is broadcastable at local scales
-        # (a 6M-point side is ~240MB — cheap against a 48g heap, and it
-        # avoids sorting the 9x-exploded probe side); on a real cluster
-        # AQE makes this call from runtime stats instead
-        .config("spark.sql.autoBroadcastJoinThreshold", "512m")
+        # 64m measured best: at 6M rows a 512m threshold force-broadcasts a
+        # ~240MB osm side and the cache-hostile 6M-entry hashmap probe LOSES
+        # to sort-merge (382s vs 282s at local[8]); AQE re-plans from
+        # runtime stats on a real cluster anyway
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
