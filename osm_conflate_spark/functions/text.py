@@ -60,9 +60,16 @@ def quality_score_sql(text: str, engine: str) -> str:
 
 
 def word_count_sql(text: str, engine: str) -> str:
-    """Words = spaces + 1 on trimmed text (portable, split-free)."""
+    """Words = spaces + 1 on trimmed text (portable, split-free).
+
+    CAST to BIGINT because Spark's length() is INT while DuckDB's is
+    BIGINT — the driver compares result schemas.
+    """
     p = _quality_parts(f"trim({text})", engine)
-    return f"(CASE WHEN length(trim({text})) = 0 THEN 0 ELSE {p['n_space']} + 1 END)"
+    return (
+        f"CAST((CASE WHEN length(trim({text})) = 0 THEN 0 "
+        f"ELSE {p['n_space']} + 1 END) AS BIGINT)"
+    )
 
 
 # --- language id: stopword-hit argmax ---------------------------------------
