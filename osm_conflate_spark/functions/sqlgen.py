@@ -104,6 +104,25 @@ def cell_sql(lat: str, lon: str, cell_m: float) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Portable string hash (cross-engine oracle support)
+# ---------------------------------------------------------------------------
+
+def hash60_sql(s: str, engine: str) -> str:
+    """Portable non-negative 60-bit integer hash of a string expression:
+    the first 15 hex chars of md5 as a BIGINT.  md5 hex is lowercase in
+    both Spark and DuckDB, so the value is engine-identical — this is
+    what lets xxhash64-style operators (minhash, simhash, fingerprint)
+    be oracled end-to-end in DuckDB.  60 bits < 2^63 so ANSI-mode Spark
+    never overflows.
+    """
+    if engine == "spark":
+        return f"CAST(conv(substr(md5({s}), 1, 15), 16, 10) AS BIGINT)"
+    if engine == "duck":
+        return f"CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT)"
+    raise ValueError(engine)
+
+
+# ---------------------------------------------------------------------------
 # z-level slippy tiles (X8)
 # ---------------------------------------------------------------------------
 

@@ -36,20 +36,26 @@ def _set_key(m: Column, key: str, value: Column) -> Column:
     )
 
 
+def _make_rewrite_udf(fn: Callable[[str], str]):
+    """Bind the callable per rule — a UDF defined inline in the rule loop
+    closes over the loop variable and every rule would execute the LAST
+    callable (classic late binding)."""
+
+    @F.pandas_udf("string")
+    def _rewrite(vals: pd.Series) -> pd.Series:
+        return vals.map(lambda v: None if v is None else fn(v))
+
+    return _rewrite
+
+
 def apply_transform(df: DataFrame, tags: str, cfg: ConflateConfig) -> DataFrame:
     """F2 — apply the profile transform DSL to a map column."""
     out = df
     cur: Column = F.col(tags)
     for key, rule in cfg.transform_dict.items():
         if callable(rule):
-            fn: Callable[[str], str] = rule
-
-            @F.pandas_udf("string")
-            def _rewrite(vals: pd.Series) -> pd.Series:  # noqa: B023
-                return vals.map(lambda v: None if v is None else fn(v))  # noqa: B023
-
             has = F.map_contains_key(cur, F.lit(key))
-            newv = _rewrite(F.element_at(cur, F.lit(key)))
+            newv = _make_rewrite_udf(rule)(F.element_at(cur, F.lit(key)))
             cur = F.when(has, _set_key(cur, key, newv)).otherwise(cur)
         elif isinstance(rule, str) and rule.startswith("-"):
             cur = F.map_filter(cur, lambda k, _v: k != F.lit(key))

@@ -22,11 +22,13 @@ Scale notes (100 TB thinking):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import ConflateConfig
 from ..functions import geo, sqlgen
+from ..functions.geo import distance_np
 
 # slack added to the JVM-side prefilter; the numpy kernel applies the
 # exact `<= max_distance` cut
@@ -112,9 +114,25 @@ def self_pairs(ds: DataFrame, cfg: ConflateConfig, radius: float) -> DataFrame:
     dist_pre = F.expr(
         sqlgen.distance_sql("a_lat", "a_lon", "b_lat", "b_lon")
     ).alias("dist_pre")
-    return (
+    pre = (
         left.join(right, "cell")
         .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", dist_pre)
+        .select("a_id", "b_id", "a_lat", "a_lon", "b_lat", "b_lon", dist_pre)
         .where(F.col("dist_pre") < F.lit(radius + _PREFILTER_SLACK_M))
+    )
+
+    # Exact recheck in numpy with the STRICT `< radius` cut, mirroring the
+    # match path where the kernel's numpy distance is authoritative — the
+    # JVM prefilter's +1e-6 m slack must not admit boundary pairs the
+    # sequential oracle rejects.  Arrow-batched, and only over the already
+    # radius-prefiltered (tiny) pair set.
+    @F.pandas_udf("double")
+    def _dist(a_lat: pd.Series, a_lon: pd.Series,
+              b_lat: pd.Series, b_lon: pd.Series) -> pd.Series:
+        return pd.Series(distance_np(a_lat, a_lon, b_lat, b_lon))
+
+    return (
+        pre.withColumn("dist", _dist("a_lat", "a_lon", "b_lat", "b_lon"))
+        .where(F.col("dist") < F.lit(radius))
+        .select("a_id", "b_id", F.col("dist").alias("dist_pre"))
     )
