@@ -44,7 +44,11 @@ class ConflateConfig:
     tag_unmatched: tuple = (("amenity", "disused:amenity"),)
     #: OSM-side tag filter clauses (F1); empty = keep all
     query: tuple = ()
-    #: per-category extra tags: {category: {tag: value}} (F3)
+    #: per-category overrides (F3): {category: {tag: value, ...}}.  The
+    #: reserved key ``max_distance`` (float) overrides the MATCH RADIUS
+    #: for dataset points of that category (reference profiles set
+    #: category-specific radii); every other key is an extra tag set
+    #: only where absent.
     categories: tuple = ()
     #: dataset transform DSL (F2): {tag: rule}; rule is a constant string,
     #: '-' prefix = delete tag, '+' prefix = set only if absent,
@@ -54,6 +58,12 @@ class ConflateConfig:
     #: -> bool vetoing candidate pairs before greedy (reference profile
     #: ``matches`` hook); None = always-true
     matches: Optional[Callable] = None
+    #: U2 — weight/priority hook: callable(ds_tags: dict) -> float.
+    #: Higher-weight dataset points match BEFORE lower-weight ones
+    #: regardless of distance (greedy order key becomes
+    #: (-weight, dist, dataset_id, osm_pk)); None = all weights equal,
+    #: pure nearest-first.
+    weight: Optional[Callable] = None
 
     # --- engine-only knobs -------------------------------------------------
     #: matched nodes farther than this from the dataset point are moved (X3)

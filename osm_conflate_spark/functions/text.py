@@ -116,16 +116,35 @@ def langid_duck(text: str) -> str:
 
 # --- document fingerprint ----------------------------------------------------
 
-def fingerprint_col(text: str, k: int = 8) -> Column:
-    """Rolling-hash document fingerprint: min xxhash64 over character
-    k-grams (winnowing-style min selection; Spark-side only, pytest-
-    verified against a pure-Python twin)."""
+def fingerprint_col(text: str, k: int = 8, portable: bool = False) -> Column:
+    """Rolling-hash document fingerprint: min hash over character k-grams
+    (winnowing-style min selection).
+
+    Default hash is xxhash64 (JVM-native; pytest-verified against a
+    pure-Python twin).  ``portable=True`` uses the md5-based
+    ``sqlgen.hash60_sql`` so :func:`fingerprint_duck_sql` replays the
+    exact value in DuckDB (driver oracle)."""
+    from .sqlgen import hash60_sql
+
+    h = hash60_sql("g", "spark") if portable else "xxhash64(g)"
     grams = (
         f"CASE WHEN length({text}) >= {k} THEN "
         f"transform(sequence(1, length({text}) - {k} + 1), i -> substring({text}, i, {k})) "
         f"ELSE array({text}) END"
     )
     return F.expr(
-        f"aggregate(transform({grams}, g -> xxhash64(g)), cast(9223372036854775807 as bigint), "
+        f"aggregate(transform({grams}, g -> {h}), cast(9223372036854775807 as bigint), "
         f"(acc, h) -> least(acc, h))"
+    )
+
+
+def fingerprint_duck_sql(text: str, k: int = 8) -> str:
+    """DuckDB twin of ``fingerprint_col(..., portable=True)``."""
+    from .sqlgen import hash60_sql
+
+    h = hash60_sql(f"substr({text}, i, {k})", "duck")
+    return (
+        f"CASE WHEN length({text}) >= {k} THEN "
+        f"list_min([{h} FOR i IN range(1, length({text}) - {k} + 2)]) "
+        f"ELSE {hash60_sql(text, 'duck')} END"
     )

@@ -161,3 +161,36 @@ def test_spatial_dedup_distributed_path_matches_driver(spark):
         for r in dd.spatial_dedup(ds, cfg, driver_max_pairs=0).collect()
     )
     assert keep == _EXPECTED_KEEP
+
+
+# ---------------------------------------------------------------------------
+# ngram df-cap: one ubiquitous trigram must not blow up the self-join,
+# and capped results (values + pairs) stay exact for real near-dups
+# ---------------------------------------------------------------------------
+
+def test_ngram_df_cap_survives_ubiquitous_gram(spark):
+    rows = []
+    for i in range(40):
+        rows.append(
+            (i, f"click here now unique text piece number {i} filler words {i * 7}")
+        )
+    rows.append((100, "the quick brown fox jumps over the lazy dog today"))
+    rows.append((101, "the quick brown fox jumps over the lazy dog today"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.5).collect()
+    }
+    lineage = []
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(
+            df, "text", "doc_id", threshold=0.5, max_doc_freq=10, lineage=lineage
+        ).collect()
+    }
+    assert capped == uncapped
+    assert (100, 101) in capped and capped[(100, 101)] == 1.0
+    # the ubiquitous grams were actually pruned, and not silently
+    assert lineage and lineage[0]["stage"] == "ngram_df_cap"
+    assert lineage[0]["n_out"] >= 5
