@@ -24,31 +24,46 @@ from .sources.extract import poi_tags_map_sql
 
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser("conflate-spark")
-    ap.add_argument("--pages", help="pages parquet (url, warc_ts, html, text, lang)")
-    ap.add_argument("--dataset", help="pre-extracted dataset_points parquet")
-    ap.add_argument("--osm", required=True, help="osm_points parquet")
+    ap.add_argument(
+        "--pages",
+        help="pages input: parquet path OR catalog table name, e.g. an "
+        "Iceberg table 'ice.db.pages' (url, warc_ts, html, text, lang)",
+    )
+    ap.add_argument("--dataset", help="pre-extracted dataset_points parquet/table")
+    ap.add_argument("--osm", required=True, help="osm_points parquet/table")
     ap.add_argument("--out", required=True, help="output directory")
-    ap.add_argument("--audit", help="audit parquet (dataset_id, skip, keep, move)")
+    ap.add_argument(
+        "--audit",
+        help="audit parquet (dataset_id, skip, keep, move[, fix_lat, fix_lon])",
+    )
     ap.add_argument("--dataset-id", default="test")
     ap.add_argument("--max-distance", type=float, default=100.0)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--broadcast-osm", action="store_true")
+    ap.add_argument(
+        "--conf", action="append", default=[], metavar="K=V",
+        help="extra session conf (repeatable) — e.g. the Iceberg catalog "
+        "block from sources.catalog.iceberg_session_conf",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
 
+    from .sources.catalog import read_input
+
+    extra_conf = dict(kv.split("=", 1) for kv in args.conf)
     preexisting = SparkSession.getActiveSession() is not None
-    spark = build_session(app="conflate-spark")
+    spark = build_session(app="conflate-spark", extra_conf=extra_conf)
     cfg = ConflateConfig(dataset_id=args.dataset_id, max_distance=args.max_distance)
     pipe = ConflatePipeline(spark, cfg, out_dir=args.out, resume=args.resume)
 
     if args.pages:
-        ds = from_pages(spark.read.parquet(args.pages))
+        ds = from_pages(read_input(spark, args.pages))
     elif args.dataset:
-        ds = spark.read.parquet(args.dataset)
+        ds = read_input(spark, args.dataset)
     else:
         ap.error("need --pages or --dataset")
-    osm = spark.read.parquet(args.osm)
+    osm = read_input(spark, args.osm)
     if "tags_raw" in osm.columns and "tags" not in osm.columns:
         from pyspark.sql import functions as F
 

@@ -94,6 +94,27 @@ class ConflateConfig:
         return {k: dict(v) for k, v in self.categories}
 
     @property
+    def category_tags(self) -> dict:
+        """F3 extra-tag part of ``categories`` (reserved keys removed)."""
+        return {
+            cat: {k: v for k, v in d.items() if k != "max_distance"}
+            for cat, d in self.categories_dict.items()
+        }
+
+    @property
+    def category_radii(self) -> dict:
+        """F3 per-category ``max_distance`` overrides: {category: meters}."""
+        return {
+            cat: float(d["max_distance"])
+            for cat, d in self.categories_dict.items()
+            if "max_distance" in d
+        }
+
+    def radius_for(self, category) -> float:
+        """Effective match radius for a dataset point's category."""
+        return self.category_radii.get(category, self.max_distance)
+
+    @property
     def transform_dict(self) -> dict:
         return dict(self.transform)
 
@@ -105,6 +126,12 @@ class ConflateConfig:
             )
         if self.duplicate_distance > self.max_distance:
             raise ValueError("duplicate_distance must be <= max_distance")
+        for cat, r in self.category_radii.items():
+            if r > self.cell_m:
+                raise ValueError(
+                    f"category {cat!r} max_distance ({r}) exceeds cell_m "
+                    f"({self.cell_m}) — k-ring-1 would miss candidates"
+                )
 
 
 DEFAULT_CONFIG = ConflateConfig()

@@ -69,8 +69,10 @@ def apply_transform(df: DataFrame, tags: str, cfg: ConflateConfig) -> DataFrame:
 
 
 def apply_categories(df: DataFrame, tags: str, cfg: ConflateConfig) -> DataFrame:
-    """F3 — per-category default tags (set only where absent)."""
-    cats = cfg.categories_dict
+    """F3 — per-category default tags (set only where absent).  The
+    reserved ``max_distance`` key is a match-radius override consumed by
+    the candidate join, never injected as a tag."""
+    cats = {c: t for c, t in cfg.category_tags.items() if t}
     if not cats:
         return df
     cur: Column = F.col(tags)

@@ -48,16 +48,34 @@ def candidate_pairs(
     cfg: ConflateConfig,
     broadcast_osm: bool = False,
 ) -> DataFrame:
-    """(dataset_id, osm_pk, ds_lat, ds_lon, osm_lat, osm_lon, dist_pre, ds_cell).
+    """(dataset_id, osm_pk, ds_lat, ds_lon, osm_lat, osm_lon, dist_pre,
+    ds_cell, radius_eff).
 
     ``ds`` needs (id, lat, lon); ``osm`` needs (osm_type, osm_id, lat, lon).
+
+    ``radius_eff`` is the per-pair match radius: the dataset point's
+    category ``max_distance`` override (F3) when one exists, else
+    ``cfg.max_distance``.  With no overrides it folds to a constant and
+    the plan is unchanged.  Config validates every override <= cell_m,
+    so k-ring-1 completeness holds for the widest radius in play.
     """
+    radii = cfg.category_radii
+    use_cat = bool(radii) and "category" in ds.columns
+    radius_eff = F.lit(float(cfg.max_distance))
+    if use_cat:
+        for cat, rr in sorted(radii.items()):
+            radius_eff = F.when(
+                F.col("category") == F.lit(cat), F.lit(float(rr))
+            ).otherwise(radius_eff)
+    ds_cols = [
+        F.col("id").alias("dataset_id"),
+        F.col("lat").alias("ds_lat"),
+        F.col("lon").alias("ds_lon"),
+    ] + ([F.col("category")] if use_cat else [])
     ds_slim = (
-        ds.select(
-            F.col("id").alias("dataset_id"),
-            F.col("lat").alias("ds_lat"),
-            F.col("lon").alias("ds_lon"),
-        )
+        ds.select(*ds_cols)
+        .withColumn("radius_eff", radius_eff)
+        .drop("category")
         .withColumn("ds_cell", geo.cell_col("ds_lat", "ds_lon", cfg.cell_m))
         .withColumn("cell", F.explode(geo.kring_col("ds_lat", "ds_lon", cfg.cell_m)))
     )
@@ -79,9 +97,9 @@ def candidate_pairs(
         ds_slim.join(osm_slim, "cell")
         .select(
             "dataset_id", "osm_pk", "ds_lat", "ds_lon",
-            "osm_lat", "osm_lon", dist_pre, "ds_cell",
+            "osm_lat", "osm_lon", dist_pre, "ds_cell", "radius_eff",
         )
-        .where(F.col("dist_pre") <= F.lit(cfg.max_distance + _PREFILTER_SLACK_M))
+        .where(F.col("dist_pre") <= F.col("radius_eff") + F.lit(_PREFILTER_SLACK_M))
     )
 
 

@@ -82,6 +82,25 @@ _CHANGE_COLS = [
     "lat", "lon", "tags", "dataset_id", "match_dist",
 ]
 
+AUDIT_SCHEMA = (
+    "dataset_id string, skip boolean, keep boolean, move boolean, "
+    "fix_lat double, fix_lon double"
+)
+_AUDIT_DEFAULTS = {
+    "skip": "boolean", "keep": "boolean", "move": "boolean",
+    "fix_lat": "double", "fix_lon": "double",
+}
+
+
+def normalize_audit(audit: DataFrame) -> DataFrame:
+    """Fill in any missing audit columns as NULLs so older audit tables
+    (skip/keep/move only) keep working after the J6 coordinate-override
+    columns (fix_lat/fix_lon) were added."""
+    for col, typ in _AUDIT_DEFAULTS.items():
+        if col not in audit.columns:
+            audit = audit.withColumn(col, F.lit(None).cast(typ))
+    return audit.select("dataset_id", *list(_AUDIT_DEFAULTS))
+
 
 def build_changes(
     matched: DataFrame,
@@ -101,10 +120,8 @@ def build_changes(
     """
     spark_any = matched.sparkSession
     if audit is None:
-        audit = spark_any.createDataFrame(
-            [], "dataset_id string, skip boolean, keep boolean, move boolean"
-        )
-    audit = F.broadcast(audit)
+        audit = spark_any.createDataFrame([], AUDIT_SCHEMA)
+    audit = F.broadcast(normalize_audit(audit))
 
     # --- matched -> modify -------------------------------------------------
     m = (
@@ -126,14 +143,32 @@ def build_changes(
             ),
             "osm_pk",
         )
-        .join(audit.select("dataset_id", "move"), "dataset_id", "left")
+        .join(
+            audit.select("dataset_id", "move", "fix_lat", "fix_lon"),
+            "dataset_id", "left",
+        )
     )
     merged = merged_tags_col("ds_tags", "osm_tags", cfg, "dataset_id")
-    moved = (
+    # J6 coordinate override: an audit fix pins the final coordinates,
+    # replacing the move decision entirely (reference audit "fixes" a
+    # match's position); the row is emitted iff tags changed OR the final
+    # coords differ from the OSM ones
+    has_fix = F.col("fix_lat").isNotNull() & F.col("fix_lon").isNotNull()
+    moved_base = (
         (F.col("osm_type") == "node")
         & (F.col("dist") > F.lit(cfg.position_tolerance))
         & F.coalesce(F.col("move"), F.lit(True))
     )
+    moved = F.when(
+        has_fix,
+        (F.col("fix_lat") != F.col("osm_lat")) | (F.col("fix_lon") != F.col("osm_lon")),
+    ).otherwise(moved_base)
+    final_lat = F.when(has_fix, F.col("fix_lat")).when(
+        moved_base & ~has_fix, F.col("ds_lat")
+    ).otherwise(F.col("osm_lat"))
+    final_lon = F.when(has_fix, F.col("fix_lon")).when(
+        moved_base & ~has_fix, F.col("ds_lon")
+    ).otherwise(F.col("osm_lon"))
     changed = tags_changed_col(merged, F.col("osm_tags"))
     modify = (
         m.withColumn("tags", merged)
@@ -142,8 +177,8 @@ def build_changes(
         .select(
             F.lit("modify").alias("action"),
             "osm_type", "osm_id", "version",
-            F.when(F.col("moved"), F.col("ds_lat")).otherwise(F.col("osm_lat")).alias("lat"),
-            F.when(F.col("moved"), F.col("ds_lon")).otherwise(F.col("osm_lon")).alias("lon"),
+            final_lat.alias("lat"),
+            final_lon.alias("lon"),
             "tags", "dataset_id",
             F.col("dist").alias("match_dist"),
         )
@@ -262,13 +297,35 @@ def _xml_escape(c: Column) -> Column:
     return c
 
 
-def osc_rows(changes: DataFrame) -> DataFrame:
+def osc_rows(changes: DataFrame, osm_geom: DataFrame | None = None) -> DataFrame:
     """(action, xml) — one serialized element per change row.
 
     Created objects get a deterministic negative placeholder id (the osc
     convention for new objects); the placeholder is NOT part of the
     semantic comparison surface (oracle compares ``changes`` rows).
+
+    ``osm_geom`` (optional): (osm_type, osm_id, nds, members) from the
+    OSM ingest — when given, modified/deleted WAYS are serialized with
+    their ``<nd ref=../>`` children and RELATIONS with ``<member .../>``
+    children instead of node-style lat/lon attributes (a real editor
+    rejects a way without its nd list).  The join runs over the change
+    set only (output-sized, not corpus-sized).
     """
+    if osm_geom is not None and {"nds", "members"} <= set(osm_geom.columns):
+        changes = changes.join(
+            osm_geom.select("osm_type", "osm_id", "nds", "members"),
+            ["osm_type", "osm_id"],
+            "left",
+        )
+    else:
+        changes = changes.withColumn(
+            "nds", F.lit(None).cast("array<bigint>")
+        ).withColumn(
+            "members",
+            F.lit(None).cast(
+                "array<struct<mtype string, mref bigint, mrole string>>"
+            ),
+        )
     osm_id = F.coalesce(
         F.col("osm_id"), -F.abs(F.xxhash64(F.col("dataset_id")))
     )
@@ -281,13 +338,47 @@ def osc_rows(changes: DataFrame) -> DataFrame:
             F.lit('" v="'), _xml_escape(kv["value"]), F.lit('"/>'),
         ),
     )
+    nd_xml = F.aggregate(
+        F.coalesce(F.col("nds"), F.expr("array()").cast("array<bigint>")),
+        F.lit(""),
+        lambda acc, r: F.concat(
+            acc, F.lit('<nd ref="'), r.cast("string"), F.lit('"/>')
+        ),
+    )
+    member_xml = F.aggregate(
+        F.coalesce(
+            F.col("members"),
+            F.expr("array()").cast(
+                "array<struct<mtype string, mref bigint, mrole string>>"
+            ),
+        ),
+        F.lit(""),
+        lambda acc, m: F.concat(
+            acc,
+            F.lit('<member type="'), _xml_escape(m["mtype"]),
+            F.lit('" ref="'), m["mref"].cast("string"),
+            F.lit('" role="'), _xml_escape(m["mrole"]), F.lit('"/>'),
+        ),
+    )
+    is_node = F.col("osm_type") == "node"
+    latlon_attrs = F.when(
+        is_node,
+        F.concat(
+            F.lit(' lat="'), F.col("lat").cast("string"),
+            F.lit('" lon="'), F.col("lon").cast("string"), F.lit('"'),
+        ),
+    ).otherwise(F.lit(""))
+    children = F.concat(
+        F.when(F.col("osm_type") == "way", nd_xml).otherwise(F.lit("")),
+        F.when(F.col("osm_type") == "relation", member_xml).otherwise(F.lit("")),
+        tag_xml,
+    )
     xml = F.concat(
         F.lit("<"), F.col("osm_type"),
         F.lit(' id="'), osm_id.cast("string"),
         F.lit('" version="'), F.col("version").cast("string"),
-        F.lit('" lat="'), F.col("lat").cast("string"),
-        F.lit('" lon="'), F.col("lon").cast("string"),
-        F.lit('">'), tag_xml,
+        F.lit('"'), latlon_attrs,
+        F.lit(">"), children,
         F.lit("</"), F.col("osm_type"), F.lit(">"),
     )
     return changes.select("action", xml.alias("xml"))

@@ -53,6 +53,7 @@ _KERNEL_SCHEMA = T.StructType(
         T.StructField("dataset_id", T.StringType()),
         T.StructField("osm_pk", T.StringType()),
         T.StructField("dist", T.DoubleType()),
+        T.StructField("negw", T.DoubleType()),  # U2: -weight (0.0 = no hook)
         T.StructField("block", T.LongType()),
         T.StructField("status", T.StringType()),  # 'M' matched / 'D' deferred
     ]
@@ -84,9 +85,12 @@ def _greedy_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     n_ds = int(ds_codes.max()) + 1 if n else 0
     n_osm = int(osm_codes.max()) + 1 if n else 0
 
-    # total order (dist, dataset_id, osm_pk); rank = position in that order
+    # total order (negw, dist, dataset_id, osm_pk) — negw first so the U2
+    # weight hook lets high-weight dataset points match before nearer
+    # low-weight ones; all-zero negw reduces to pure nearest-first
     order = np.lexsort(
-        (pdf["osm_pk"].to_numpy(), pdf["dataset_id"].to_numpy(), dist)
+        (pdf["osm_pk"].to_numpy(), pdf["dataset_id"].to_numpy(), dist,
+         pdf["negw"].to_numpy(dtype=np.float64))
     )
     rank = np.empty(n, dtype=np.int64)
     rank[order] = np.arange(n, dtype=np.int64)
@@ -140,7 +144,9 @@ def _greedy_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     deferred = (~matched) & (
         (ds_state[ds_codes] != USED) & (osm_state[osm_codes] != USED)
     )
-    out = pdf.loc[matched | deferred, ["dataset_id", "osm_pk", "dist", "block"]].copy()
+    out = pdf.loc[
+        matched | deferred, ["dataset_id", "osm_pk", "dist", "negw", "block"]
+    ].copy()
     out["status"] = np.where(matched[matched | deferred], "M", "D")
     # per-group lineage row ('L'): n_in/n_out packed in the string cols,
     # wall ms in dist — split back out by greedy_match
@@ -149,6 +155,7 @@ def _greedy_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             "dataset_id": [str(n)],
             "osm_pk": [str(int(matched.sum()))],
             "dist": [(_time.monotonic() - _t0) * 1000.0],
+            "negw": [0.0],
             "block": [pdf["block"].iloc[0] if n else -1],
             "status": ["L"],
         }
@@ -166,7 +173,8 @@ def _local_greedy_finish(pdf: pd.DataFrame) -> pd.DataFrame:
     """
     order = np.lexsort(
         (pdf["osm_pk"].to_numpy(), pdf["dataset_id"].to_numpy(),
-         pdf["dist"].to_numpy(dtype=np.float64))
+         pdf["dist"].to_numpy(dtype=np.float64),
+         pdf["negw"].to_numpy(dtype=np.float64))
     )
     used_ds: set = set()
     used_osm: set = set()
@@ -192,16 +200,22 @@ _DRIVER_FINISH_MAX = 200_000
 
 def _exact_dist(pairs: DataFrame, max_distance: float) -> DataFrame:
     """Recompute distance in numpy (Arrow-vectorized) and apply the exact
-    cutoff, so the kernel/oracle metric is authoritative (SURVEY §8.5)."""
+    cutoff, so the kernel/oracle metric is authoritative (SURVEY §8.5).
+    The cutoff is the per-pair ``radius_eff`` (F3 category overrides)
+    when present, else the global ``max_distance``."""
 
     @F.pandas_udf("double")
     def _dist(ds_lat: pd.Series, ds_lon: pd.Series,
               osm_lat: pd.Series, osm_lon: pd.Series) -> pd.Series:
         return pd.Series(distance_np(ds_lat, ds_lon, osm_lat, osm_lon))
 
+    cut = (
+        F.col("radius_eff") if "radius_eff" in pairs.columns
+        else F.lit(max_distance)
+    )
     return (
         pairs.withColumn("dist", _dist("ds_lat", "ds_lon", "osm_lat", "osm_lon"))
-        .where(F.col("dist") <= F.lit(max_distance))
+        .where(F.col("dist") <= cut)
         .drop("dist_pre")
     )
 
@@ -264,9 +278,12 @@ def greedy_match(
     if "dist" in pairs.columns and "block" in pairs.columns:
         # caller handed a prepared (and typically checkpointed) pair
         # table — don't pay a second full copy
-        live = pairs.select("dataset_id", "osm_pk", "dist", "block")
+        live = pairs
     else:
         live = prepare_pairs(pairs, cfg).localCheckpoint(eager=True)
+    if "negw" not in live.columns:  # U2 weight hook not installed
+        live = live.withColumn("negw", F.lit(0.0))
+    live = live.select("dataset_id", "osm_pk", "dist", "negw", "block")
 
     matched_parts: list[DataFrame] = []
     live_per_round: list[int] = []
@@ -279,7 +296,7 @@ def greedy_match(
         if n_live == 0:
             break
         if _round >= 1 and n_live <= _DRIVER_FINISH_MAX:
-            rest = live.select("dataset_id", "osm_pk", "dist").toPandas()
+            rest = live.select("dataset_id", "osm_pk", "dist", "negw").toPandas()
             done = _local_greedy_finish(rest)
             if len(done):
                 matched_parts.append(
@@ -321,7 +338,9 @@ def greedy_match(
         # points defer.
         n_parts = int(max(16, min(2048, n_live // 100_000 + 1)))
         part_of_block = F.pmod(F.hash("block"), F.lit(n_parts))
-        key = F.struct(F.col("dist"), F.col("dataset_id"), F.col("osm_pk"))
+        key = F.struct(
+            F.col("negw"), F.col("dist"), F.col("dataset_id"), F.col("osm_pk")
+        )
         osm_stats = live.groupBy("osm_pk").agg(
             F.min(key).alias("osm_min"),
             F.countDistinct(part_of_block).alias("nparts"),
@@ -330,6 +349,7 @@ def greedy_match(
             "dataset_id",
             "osm_pk",
             "dist",
+            "negw",
             "block",
             (F.col("nparts") > 1).alias("shared"),
             (key == F.col("osm_min")).alias("is_gmin"),
@@ -351,7 +371,9 @@ def greedy_match(
                      n_matched=int(r["osm_pk"]), wall_ms=r["dist"], round=_round)
                 for r in result.where(F.col("status") == "L").collect()
             )
-        matched_new = result.where(F.col("status") == "M").drop("status", "block")
+        matched_new = result.where(F.col("status") == "M").drop(
+            "status", "block", "negw"
+        )
         matched_parts.append(matched_new)
 
         deferred = result.where(F.col("status") == "D").drop("status")
@@ -362,7 +384,9 @@ def greedy_match(
         ).localCheckpoint(eager=True)
 
     if not matched_parts:
-        return spark.createDataFrame([], _KERNEL_SCHEMA).drop("status", "block")
+        return spark.createDataFrame([], _KERNEL_SCHEMA).drop(
+            "status", "block", "negw"
+        )
     out = matched_parts[0]
     for part in matched_parts[1:]:
         out = out.unionByName(part)

@@ -36,15 +36,39 @@ def config_hash(cfg) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
+def input_fingerprint(*dfs) -> str:
+    """Fingerprint pipeline inputs by their backing file listing
+    (``df.inputFiles()`` — metadata only, no scan).  Empty string when no
+    inputs are file-backed (e.g. createDataFrame test frames)."""
+    files: list[str] = []
+    for df in dfs:
+        try:
+            files.extend(df.inputFiles())
+        except Exception:  # noqa: BLE001 — streaming/in-memory frames
+            pass
+    if not files:
+        return ""
+    return hashlib.sha256("\n".join(sorted(files)).encode()).hexdigest()[:16]
+
+
 class StageRunner:
-    """Runs named stages with optional parquet checkpointing + lineage."""
+    """Runs named stages with optional parquet checkpointing + lineage.
+
+    Resume safety: a stage checkpoint is reused only when BOTH the config
+    hash AND the input fingerprint match — rerunning ``--resume`` against
+    different input data invalidates the cache instead of silently
+    serving stale results (round-1 advice).  Unfingerprintable inputs
+    (no backing files) match only manifests that also recorded none.
+    """
 
     def __init__(self, spark: SparkSession, out_dir: str | None = None,
-                 cfg_hash: str = "", resume: bool = True):
+                 cfg_hash: str = "", resume: bool = True,
+                 input_sig: str = ""):
         self.spark = spark
         self.out_dir = out_dir
         self.cfg_hash = cfg_hash
         self.resume = resume
+        self.input_sig = input_sig
         self.lineage: list[dict] = []
 
     def _manifest_path(self, stage: str) -> str:
@@ -65,8 +89,19 @@ class StageRunner:
             if self.resume and os.path.exists(mp):
                 with open(mp) as f:
                     man = json.load(f)
-                if man.get("cfg_hash") == self.cfg_hash:
+                if (
+                    man.get("cfg_hash") == self.cfg_hash
+                    and man.get("input_sig", "") == self.input_sig
+                ):
                     df = self.spark.read.parquet(self._data_path(stage))
+                    import sys
+
+                    print(
+                        f"[resume] stage {stage!r} restored from checkpoint "
+                        f"(rows={man['rows']}, input_sig="
+                        f"{man.get('input_sig', '') or '<none>'})",
+                        file=sys.stderr,
+                    )
                     self.lineage.append(
                         dict(stage=stage, group_id=-1, n_in=n_in or -1,
                              n_out=man["rows"], wall_ms=0.0, resumed=True)
@@ -77,7 +112,11 @@ class StageRunner:
             df = self.spark.read.parquet(self._data_path(stage))
             rows = df.count()
             with open(mp, "w") as f:
-                json.dump(dict(stage=stage, cfg_hash=self.cfg_hash, rows=rows), f)
+                json.dump(
+                    dict(stage=stage, cfg_hash=self.cfg_hash, rows=rows,
+                         input_sig=self.input_sig),
+                    f,
+                )
         else:
             df = build()
             rows = -1

@@ -17,6 +17,7 @@ reuse AQE-planned exchanges; the audit table is always broadcast.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -26,7 +27,7 @@ from ..operators import changes as chg
 from ..operators.candidates import candidate_pairs, with_osm_pk
 from ..operators.dedup import ref_dedup, spatial_dedup
 from ..operators.match import greedy_match
-from .lineage import StageRunner, config_hash
+from .lineage import StageRunner, config_hash, input_fingerprint
 
 
 class ConflatePipeline:
@@ -84,6 +85,22 @@ class ConflatePipeline:
         vicinity = pairs.select("osm_pk").distinct()
         if self.cfg.matches is not None:
             pairs = apply_match_predicate(pairs, ds, osm_pk_df, self.cfg)
+        if self.cfg.weight is not None:
+            # U2 — per-dataset-point priority: greedy order key becomes
+            # (-weight, dist, id, pk).  Arrow-batched hook over tags,
+            # one value per dataset point, joined onto the slim pairs.
+            fn = self.cfg.weight
+
+            @F.pandas_udf("double")
+            def _negw(tags: pd.Series) -> pd.Series:
+                return pd.Series(
+                    [-float(fn(t if t is not None else {})) for t in tags]
+                )
+
+            wdf = ds.select(
+                F.col("id").alias("dataset_id"), _negw("tags").alias("negw")
+            )
+            pairs = pairs.join(wdf, "dataset_id")
         if audit is not None:
             skips = F.broadcast(
                 audit.where(F.col("skip")).select(F.col("dataset_id"))
@@ -109,6 +126,9 @@ class ConflatePipeline:
         broadcast_osm: bool = False,
     ) -> dict:
         r = self.runner
+        # resume cache keys on (config hash, INPUT fingerprint): changing
+        # the input paths invalidates stale stage parquet (ADVICE round 1)
+        r.input_sig = input_fingerprint(ds_raw, osm_raw)
         ds = r.run("dataset_prep", lambda: self.prepare_dataset(ds_raw))
         osm = r.run("osm_prep", lambda: self.prepare_osm(osm_raw))
         if not r.out_dir:
@@ -146,7 +166,10 @@ class ConflatePipeline:
             changes=changes,
             tiles=tiles,
             metrics=metrics,
-            osc=chg.osc_rows(changes),
+            osc=chg.osc_rows(
+                changes,
+                osm if {"nds", "members"} <= set(osm.columns) else None,
+            ),
             geojson=chg.geojson_rows(changes),
             lineage=r.lineage_df,
         )
@@ -156,6 +179,7 @@ def build_session(
     app: str = "osm-conflate-spark",
     master: str | None = None,
     shuffle_partitions: int = 32,
+    extra_conf: dict | None = None,
 ) -> SparkSession:
     """Opinionated local session: AQE on, Arrow on, sane local shuffle
     width.  On a real cluster, spark-submit conf wins — we only set
@@ -179,6 +203,8 @@ def build_session(
         b = b.master(master)
     elif not os.environ.get("SPARK_MASTER"):
         b = b.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
     return (
         b.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -172,18 +172,22 @@ def greedy_match(
     for sp in dataset:
         if audit.get(sp.id, {}).get("skip"):
             continue  # J6: audit skip removes the dataset point from matching
+        # F3 — per-category max_distance override
+        radius = cfg.radius_for(sp.category)
+        # U2 — weight hook: higher weight matches first
+        negw = -float(cfg.weight(sp.tags)) if cfg.weight is not None else 0.0
         for op in osm:
             d = distance(sp.lat, sp.lon, op.lat, op.lon)
-            if d <= cfg.max_distance:
+            if d <= radius:
                 # J3 — profile matches(osm_tags, ds_tags) candidate veto
                 if cfg.matches is not None and not cfg.matches(op.tags, sp.tags):
                     continue
-                pairs.append((d, sp.id, op.key))
+                pairs.append((negw, d, sp.id, op.key))
     pairs.sort()
     used_ds: set[str] = set()
     used_osm: set[str] = set()
     out = []
-    for d, sid, okey in pairs:
+    for _negw, d, sid, okey in pairs:
         if sid in used_ds or okey in used_osm:
             continue
         used_ds.add(sid)
@@ -215,8 +219,8 @@ def conflate(
         )
         for p in dataset
     ]
-    # F3: category extra tags
-    cats = cfg.categories_dict
+    # F3: category extra tags (reserved match-param keys excluded)
+    cats = cfg.category_tags
     for p in dataset:
         if p.category and p.category in cats:
             for k, v in cats[p.category].items():
@@ -232,7 +236,7 @@ def conflate(
     vicinity: set[str] = set()
     for op in osm:
         for sp in dataset:
-            if distance(sp.lat, sp.lon, op.lat, op.lon) <= cfg.max_distance:
+            if distance(sp.lat, sp.lon, op.lat, op.lon) <= cfg.radius_for(sp.category):
                 vicinity.add(op.key)
                 break
 
@@ -248,10 +252,17 @@ def conflate(
         merged, changed = merge_tags(
             sp.tags, op.tags, cfg.master_tags, cfg.ref_key, sid
         )
-        move_allowed = audit.get(sid, {}).get("move", True)
+        a = audit.get(sid, {})
+        move_allowed = a.get("move", True)
         moved = (
             op.osm_type == "node" and d > cfg.position_tolerance and move_allowed
         )
+        lat = sp.lat if moved else op.lat
+        lon = sp.lon if moved else op.lon
+        # J6 — audit coordinate override pins the final position
+        if a.get("fix_lat") is not None and a.get("fix_lon") is not None:
+            lat, lon = a["fix_lat"], a["fix_lon"]
+            moved = (lat != op.lat) or (lon != op.lon)
         if changed or moved:
             changes.append(
                 dict(
@@ -259,8 +270,8 @@ def conflate(
                     osm_type=op.osm_type,
                     osm_id=op.osm_id,
                     version=op.version,
-                    lat=sp.lat if moved else op.lat,
-                    lon=sp.lon if moved else op.lon,
+                    lat=lat,
+                    lon=lon,
                     tags=merged,
                     dataset_id=sid,
                     match_dist=d,

@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame
 
 OSM_POINTS_SCHEMA = (
     "osm_type string, osm_id long, version int, lat double, lon double, "
-    "tags map<string,string>"
+    "tags map<string,string>, nds array<bigint>, "
+    "members array<struct<mtype string, mref bigint, mrole string>>"
 )
 
 
@@ -50,6 +51,21 @@ def parse_osm_xml(xml_text: str) -> list[dict]:
             lat, lon = center.get("lat"), center.get("lon")
         if lat is None or lon is None:
             continue
+        # §2.2 — ways keep their <nd> refs, relations their <member>
+        # children, so a modified way/relation can be re-serialized to
+        # .osc with its full geometry (round-1 gap: members were dropped
+        # and ways serialized like nodes)
+        nds = (
+            [int(nd.get("ref")) for nd in el.findall("nd")]
+            if el.tag == "way" else None
+        )
+        members = (
+            [
+                (m.get("type", ""), int(m.get("ref", "0")), m.get("role", ""))
+                for m in el.findall("member")
+            ]
+            if el.tag == "relation" else None
+        )
         out.append(
             dict(
                 osm_type=el.tag,
@@ -58,6 +74,8 @@ def parse_osm_xml(xml_text: str) -> list[dict]:
                 lat=float(lat),
                 lon=float(lon),
                 tags=tags,
+                nds=nds,
+                members=members,
             )
         )
     return out
@@ -73,7 +91,10 @@ def read_osm_xml(xml_docs: DataFrame, xml_col: str = "xml") -> DataFrame:
                 rows.extend(parse_osm_xml(doc))
             yield pd.DataFrame(
                 rows,
-                columns=["osm_type", "osm_id", "version", "lat", "lon", "tags"],
+                columns=[
+                    "osm_type", "osm_id", "version", "lat", "lon", "tags",
+                    "nds", "members",
+                ],
             )
 
     return xml_docs.mapInPandas(run, OSM_POINTS_SCHEMA)

@@ -194,3 +194,63 @@ def test_ngram_df_cap_survives_ubiquitous_gram(spark):
     # the ubiquitous grams were actually pruned, and not silently
     assert lineage and lineage[0]["stage"] == "ngram_df_cap"
     assert lineage[0]["n_out"] >= 5
+
+
+# ---------------------------------------------------------------------------
+# Iceberg/catalog surface + resume input fingerprint
+# ---------------------------------------------------------------------------
+
+def test_read_input_path_or_table(spark, tmp_path):
+    from osm_conflate_spark.sources.catalog import (
+        iceberg_session_conf,
+        looks_like_path,
+        read_input,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    p = str(tmp_path / "t.parquet")
+    df.write.parquet(p)
+    assert read_input(spark, p).count() == 1           # path -> parquet
+    df.createOrReplaceTempView("cat_probe_view")
+    assert read_input(spark, "cat_probe_view").count() == 1  # name -> table
+    assert looks_like_path("s3://bucket/x") and not looks_like_path("ice.db.pages")
+    conf = iceberg_session_conf("ice", "/warehouse")
+    assert conf["spark.sql.catalog.ice.warehouse"] == "/warehouse"
+    assert "spark.sql.catalog.ice" in conf
+
+
+def test_resume_invalidates_on_input_change(spark, tmp_path):
+    """--resume against DIFFERENT input must rebuild, not serve stale
+    stage parquet (round-1 advice: resume keyed only on config hash)."""
+    from osm_conflate_spark.gen import gen_dataset, gen_osm
+    from osm_conflate_spark.plans.pipeline import ConflatePipeline
+    from helpers import ds_to_spark, osm_to_spark
+
+    def write_world(n, seed, name):
+        ds_pdf = gen_dataset(n, seed=seed, dup_id_frac=0, spatial_dup_frac=0)
+        osm_pdf = gen_osm(ds_pdf, seed=seed + 1)
+        dsp = str(tmp_path / f"{name}_ds")
+        osp = str(tmp_path / f"{name}_osm")
+        ds_to_spark(spark, ds_pdf).write.parquet(dsp)
+        osm_to_spark(spark, osm_pdf).write.parquet(osp)
+        return dsp, osp
+
+    out = str(tmp_path / "out")
+    ds_a, osm_a = write_world(40, 201, "a")
+    ds_b, osm_b = write_world(70, 301, "b")
+
+    cfg = ConflateConfig()
+    run_a = ConflatePipeline(spark, cfg, out_dir=out, resume=True).run(
+        spark.read.parquet(ds_a), spark.read.parquet(osm_a)
+    )
+    n_a = run_a["changes"].count()
+    # same out_dir, same config, DIFFERENT input -> must NOT reuse stages
+    run_b = ConflatePipeline(spark, cfg, out_dir=out, resume=True).run(
+        spark.read.parquet(ds_b), spark.read.parquet(osm_b)
+    )
+    n_b = run_b["changes"].count()
+    fresh_b = ConflatePipeline(
+        spark, cfg, out_dir=str(tmp_path / "fresh"), resume=False
+    ).run(spark.read.parquet(ds_b), spark.read.parquet(osm_b))
+    assert n_b == fresh_b["changes"].count()
+    assert n_b != n_a  # and it genuinely reflects the new input

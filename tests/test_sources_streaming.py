@@ -171,3 +171,54 @@ def test_cli_end_to_end(spark, tmp_path):
     assert lineage.count() > 0
     # resume: rerunning must reuse checkpoints (stage manifests exist)
     assert os.path.exists(os.path.join(out, "match.manifest.json"))
+
+
+OSC_WAY_XML = """<?xml version='1.0'?>
+<osm version="0.6">
+ <way id="77" version="4">
+   <center lat="10.0" lon="20.0"/>
+   <nd ref="101"/><nd ref="102"/><nd ref="103"/>
+   <tag k="building" v="yes"/><tag k="ref:test" v="w1"/>
+ </way>
+ <relation id="88" version="2">
+   <center lat="10.1" lon="20.1"/>
+   <member type="way" ref="77" role="outer"/>
+   <member type="node" ref="101" role=""/>
+   <tag k="type" v="multipolygon"/><tag k="ref:test" v="r1"/>
+ </relation>
+</osm>"""
+
+
+def test_osc_way_members_carry_through(spark):
+    """A modified/deleted way serializes with its <nd> children (no
+    lat/lon attrs); a relation with its <member> children — golden check
+    for the round-1 gap of ways serialized like nodes."""
+    from osm_conflate_spark.operators.changes import osc_rows
+
+    xml_df = spark.createDataFrame([(OSC_WAY_XML,)], "xml string")
+    osm = read_osm_xml(xml_df)
+    assert {r["osm_id"]: r["nds"] for r in osm.collect()}[77] == [101, 102, 103]
+
+    changes = spark.createDataFrame(
+        [
+            ("modify", "way", 77, 4, 10.0, 20.0, {"building": "yes"}, "w1", 5.0),
+            ("delete", "relation", 88, 2, 10.1, 20.1, {"type": "x"}, "r1", None),
+            ("create", "node", None, 1, 10.2, 20.2, {"name": "n"}, "d1", None),
+        ],
+        "action string, osm_type string, osm_id long, version int, lat double, "
+        "lon double, tags map<string,string>, dataset_id string, match_dist double",
+    )
+    rows = {r["action"]: r["xml"] for r in osc_rows(changes, osm).collect()}
+    way = rows["modify"]
+    assert '<nd ref="101"/><nd ref="102"/><nd ref="103"/>' in way
+    assert ' lat=' not in way and way.startswith('<way id="77" version="4">')
+    rel = rows["delete"]
+    assert '<member type="way" ref="77" role="outer"/>' in rel
+    assert '<member type="node" ref="101" role=""/>' in rel
+    node = rows["create"]
+    assert ' lat="10.2" lon="20.2"' in node and "<nd" not in node
+    # every row stays well-formed XML
+    import xml.etree.ElementTree as ET
+
+    for x in rows.values():
+        ET.fromstring(x)
