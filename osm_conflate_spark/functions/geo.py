@@ -120,8 +120,8 @@ def kring_np(lat, lon, cell_m: float):
     return out
 
 
-def kring_sql(lat: str, lon: str, cell_m: float) -> str:
-    """SQL expression producing an array of distinct neighbor cell ids."""
+def kring_cell_sqls(lat: str, lon: str, cell_m: float) -> list[str]:
+    """The <=9 neighbor-cell id expressions (one SQL string each)."""
     nb = sqlgen.n_bands(cell_m)
     own_band = sqlgen.band_sql(lat, cell_m)
     exprs = []
@@ -135,11 +135,41 @@ def kring_sql(lat: str, lon: str, cell_m: float) -> str:
         for dc in (-1, 0, 1):
             col = f"((({c0}) + ({dc}) + ({nc})) % ({nc}))"
             exprs.append(sqlgen.cell_id_sql(band, col))
-    return "array_distinct(array(" + ", ".join(exprs) + "))"
+    return exprs
+
+
+def kring_sql(lat: str, lon: str, cell_m: float) -> str:
+    """SQL expression producing an array of distinct neighbor cell ids."""
+    return (
+        "array_distinct(array("
+        + ", ".join(kring_cell_sqls(lat, lon, cell_m))
+        + "))"
+    )
 
 
 def kring_col(lat: str, lon: str, cell_m: float) -> Column:
     return F.expr(kring_sql(lat, lon, cell_m))
+
+
+def kring_explode(df, lat: str, lon: str, cell_m: float, out: str = "cell"):
+    """``df`` + one row per distinct k-ring neighbor cell in column ``out``.
+
+    PERFORMANCE-CRITICAL SHAPE: the 9 cell ids are projected as plain
+    columns FIRST and the generator explodes an array of attribute refs.
+    Putting the full kring expression inline under explode() makes Spark
+    evaluate the generator input interpreted, per output row, with no
+    codegen or common-subexpression elimination — measured 12x slower
+    (12.9s vs 1.1s for 3M points / 27M exploded rows on local[32]).
+    Semantics are identical to ``explode(kring_col(...))``.
+    """
+    tmp = [f"__kr{i}" for i in range(9)]
+    exprs = kring_cell_sqls(lat, lon, cell_m)
+    step = df.select(
+        "*", *[F.expr(e).alias(t) for e, t in zip(exprs, tmp)]
+    )
+    return step.select(
+        "*", F.explode(F.array_distinct(F.array(*tmp))).alias(out)
+    ).drop(*tmp)
 
 
 # ---------------------------------------------------------------------------

@@ -72,12 +72,12 @@ def candidate_pairs(
         F.col("lat").alias("ds_lat"),
         F.col("lon").alias("ds_lon"),
     ] + ([F.col("category")] if use_cat else [])
-    ds_slim = (
+    ds_slim = geo.kring_explode(
         ds.select(*ds_cols)
         .withColumn("radius_eff", radius_eff)
         .drop("category")
-        .withColumn("ds_cell", geo.cell_col("ds_lat", "ds_lon", cfg.cell_m))
-        .withColumn("cell", F.explode(geo.kring_col("ds_lat", "ds_lon", cfg.cell_m)))
+        .withColumn("ds_cell", geo.cell_col("ds_lat", "ds_lon", cfg.cell_m)),
+        "ds_lat", "ds_lon", cfg.cell_m, out="cell",
     )
     osm_slim = (
         with_osm_pk(osm)
@@ -103,7 +103,10 @@ def candidate_pairs(
     )
 
 
-def self_pairs(ds: DataFrame, cfg: ConflateConfig, radius: float) -> DataFrame:
+def self_pairs(
+    ds: DataFrame, cfg: ConflateConfig, radius: float,
+    prefilter_max_cells: int = 20_000_000,
+) -> DataFrame:
     """Dataset self-join pairs strictly within ``radius`` (for D2).
 
     Emits each unordered pair once, oriented (small_id, big_id).
@@ -111,15 +114,53 @@ def self_pairs(ds: DataFrame, cfg: ConflateConfig, radius: float) -> DataFrame:
     Uses its OWN grid sized to the radius (e.g. 2 m cells for the 1 m
     duplicate_distance), NOT the 200 m match grid — at city densities the
     coarse grid would blow the self-join up by (cell_m/radius)^2.
+
+    Occupancy prefilter (the scaling win): with a radius-sized grid the
+    overwhelming majority of points are ALONE in their 3x3 neighborhood
+    and can never pair.  A slim per-cell count (8-byte keys) is
+    broadcast and each point sums the counts over its k-ring entirely
+    map-side; only points with a neighbor (sum > 1) enter the pair
+    self-join.  This removes the full-dataset shuffle the round-1 plan
+    paid — the exploded k-ring rows never leave their input partition.
+    Above ``prefilter_max_cells`` distinct occupied cells the count
+    table is too big to broadcast; the k-ring sum then falls back to a
+    shuffle join over the SLIM (id, kcell) projection, which still
+    keeps full rows out of the pair self-join.
     """
     grid_m = max(2.0, 2.0 * radius)
-    left = (
+    base = ds.select("id", "lat", "lon").withColumn(
+        "cell", geo.cell_col("lat", "lon", grid_m)
+    )
+    # slim occupancy counts; row count bounded by #distinct occupied cells
+    cnt = base.groupBy("cell").count()
+    n_cells = cnt.count()
+    cnt_k = cnt.withColumnRenamed("cell", "kcell")
+    if n_cells <= prefilter_max_cells:
+        # small enough to broadcast: the k-ring sum is entirely map-side
+        cnt_k = F.broadcast(cnt_k)
+    # else: plain shuffle join on the SLIM (id, kcell) projection — still
+    # far lighter than shuffling full rows through the pair self-join
+    kr = geo.kring_explode(
+        base.select("id", "lat", "lon"), "lat", "lon", grid_m, out="kcell"
+    ).select("id", "kcell")
+    near = (
+        kr.join(cnt_k, "kcell")
+        # partial (map-side) agg collapses the <=9 rows per id before
+        # any exchange — the shuffle carries one slim row per point
+        .groupBy("id")
+        .agg(F.sum("count").alias("nnear"))
+        .where(F.col("nnear") > 1)
+        .select("id")
+        .localCheckpoint(eager=True)  # small; exact stats -> AQE broadcast
+    )
+    ds = ds.select("id", "lat", "lon").join(near, "id", "left_semi")
+    left = geo.kring_explode(
         ds.select(
             F.col("id").alias("a_id"),
             F.col("lat").alias("a_lat"),
             F.col("lon").alias("a_lon"),
-        )
-        .withColumn("cell", F.explode(geo.kring_col("a_lat", "a_lon", grid_m)))
+        ),
+        "a_lat", "a_lon", grid_m, out="cell",
     )
     right = (
         ds.select(

@@ -275,12 +275,21 @@ def greedy_match(
     osm_lon, dist_pre, ds_cell) as produced by
     :func:`..operators.candidates.candidate_pairs`.
     """
+    import time as _time
+
+    def _phase(name: str, t0: float) -> None:
+        if stats is not None:
+            pw = stats.setdefault("phase_wall", {})
+            pw[name] = pw.get(name, 0.0) + (_time.monotonic() - t0)
+
     if "dist" in pairs.columns and "block" in pairs.columns:
         # caller handed a prepared (and typically checkpointed) pair
         # table — don't pay a second full copy
         live = pairs
     else:
+        t0 = _time.monotonic()
         live = prepare_pairs(pairs, cfg).localCheckpoint(eager=True)
+        _phase("prepare_pairs", t0)
     if "negw" not in live.columns:  # U2 weight hook not installed
         live = live.withColumn("negw", F.lit(0.0))
     live = live.select("dataset_id", "osm_pk", "dist", "negw", "block")
@@ -288,7 +297,9 @@ def greedy_match(
     matched_parts: list[DataFrame] = []
     live_per_round: list[int] = []
     for _round in range(cfg.max_match_rounds):
+        t0 = _time.monotonic()
         n_live = live.count()
+        _phase("round_count", t0)
         if stats is not None:
             live_per_round.append(n_live)
             stats["live_per_round"] = live_per_round
@@ -296,6 +307,7 @@ def greedy_match(
         if n_live == 0:
             break
         if _round >= 1 and n_live <= _DRIVER_FINISH_MAX:
+            t0 = _time.monotonic()
             rest = live.select("dataset_id", "osm_pk", "dist", "negw").toPandas()
             done = _local_greedy_finish(rest)
             if len(done):
@@ -304,11 +316,13 @@ def greedy_match(
                         done, "dataset_id string, osm_pk string, dist double"
                     )
                 )
+            _phase("driver_finish", t0)
             break
 
         # skew guard: split oversized blocks by dataset_id hash (exact —
         # splitting only widens the 'shared' set); only worth checking
         # when the total live count could even contain an oversized block
+        t0 = _time.monotonic()
         if n_live > cfg.salt_cap_pairs:
             sizes = live.groupBy("block").count()
             oversized = sizes.where(F.col("count") > cfg.salt_cap_pairs)
@@ -327,6 +341,7 @@ def greedy_match(
                     + F.pmod(F.xxhash64("dataset_id"), F.lit(nsplit)),
                 ).otherwise(F.col("block") * nsplit),
             ).drop("oversized")
+        _phase("skew_probe", t0)
 
         # One kernel invocation per PARTITION, not per block: a hash
         # partition is a union of whole blocks, so the invariant "all of
@@ -361,16 +376,20 @@ def greedy_match(
                 return
             yield _greedy_kernel(pd.concat(pdfs, ignore_index=True))
 
+        t0 = _time.monotonic()
         result = enriched.repartition(n_parts, "block").mapInPandas(
             _kernel_iter, _KERNEL_SCHEMA
         )
         result = result.localCheckpoint(eager=True)
+        _phase("enrich_kernel_ckpt", t0)
+        t0 = _time.monotonic()
         if stats is not None:
             stats.setdefault("groups", []).extend(
                 dict(block=r["block"], n_in=int(r["dataset_id"]),
                      n_matched=int(r["osm_pk"]), wall_ms=r["dist"], round=_round)
                 for r in result.where(F.col("status") == "L").collect()
             )
+        _phase("stats_collect", t0)
         matched_new = result.where(F.col("status") == "M").drop(
             "status", "block", "negw"
         )
@@ -378,10 +397,11 @@ def greedy_match(
 
         deferred = result.where(F.col("status") == "D").drop("status")
         # kill deferred pairs whose endpoints were consumed in OTHER blocks
-        # (in-block kills already happened inside the kernel)
-        live = deferred.join(
-            matched_new.select("osm_pk"), "osm_pk", "left_anti"
-        ).localCheckpoint(eager=True)
+        # (in-block kills already happened inside the kernel).  No extra
+        # checkpoint: ``result`` is already materialized and the anti-join
+        # over it is cheap — one fewer job per round (per-job fixed
+        # latency is what caps N-vs-4N scaling efficiency).
+        live = deferred.join(matched_new.select("osm_pk"), "osm_pk", "left_anti")
 
     if not matched_parts:
         return spark.createDataFrame([], _KERNEL_SCHEMA).drop(

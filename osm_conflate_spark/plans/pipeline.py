@@ -76,10 +76,15 @@ class ConflatePipeline:
         """Returns (matched_pairs, vicinity)."""
         from ..operators.match import apply_match_predicate, prepare_pairs
 
+        import time as _time
+
+        stats: dict = {}
+        t0 = _time.monotonic()
         pairs = candidate_pairs(ds, osm_pk_df, self.cfg, broadcast_osm=broadcast_osm)
         # ONE materialization of the slim (id, pk, dist, block) pair table
         # serves the vicinity set, the audit skip, and the matcher
         pairs = prepare_pairs(pairs, self.cfg).localCheckpoint(eager=True)
+        stats["phase_wall"] = {"prepare_pairs": _time.monotonic() - t0}
         # vicinity (J5) uses the RAW radius candidates — computed before
         # the J3 predicate veto, matching the reference
         vicinity = pairs.select("osm_pk").distinct()
@@ -106,7 +111,6 @@ class ConflatePipeline:
                 audit.where(F.col("skip")).select(F.col("dataset_id"))
             )
             pairs = pairs.join(skips, "dataset_id", "left_anti")
-        stats: dict = {}
         matched = greedy_match(self.spark, pairs, self.cfg, stats=stats)
         self.last_match_stats = stats
         for g in stats.get("groups", []):
@@ -205,6 +209,18 @@ def build_session(
         b = b.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
+    # local/bench runs: put shuffle + block spill on tmpfs when present —
+    # a real cluster has node-local NVMe per executor; a single box's one
+    # virtual disk otherwise serializes all executors' shuffle writes
+    # (measured: the 8-executor leg loses ~2x at 6M pages on /tmp).
+    # Harmless opt-out via SPARK_LOCAL_DIRS; never set on a real cluster
+    # (spark-submit conf wins there).
+    if (
+        "SPARK_LOCAL_DIRS" not in os.environ
+        and not os.environ.get("SPARK_MASTER")
+        and os.path.isdir("/dev/shm")
+    ):
+        b = b.config("spark.local.dir", "/dev/shm/spark-graft-local")
     return (
         b.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
