@@ -76,6 +76,66 @@ def ensure_bench_tables(spark, n_pages: int):
     return pages_path, osm_path
 
 
+def ensure_skew_tables(spark, n_pages: int, dense_n: int = 30_000):
+    """Adversarial-skew twin of the bench tables: the first ``dense_n``
+    dataset points are relocated into ONE ~2x2 km square — about one
+    32-cell super-block at cell_m=200 — so a single kernel group sees
+    ~(dense_n)^2 * pi r^2 / A ≈ 7M candidate pairs, several times
+    ``salt_cap_pairs`` (2M): the hash-salt split is the only thing
+    between the matcher and a straggler kernel.
+
+    (A literal '90% of points in one block' would put ~5.4M points in
+    6.4 km x 6.4 km ⇒ ~10^10 candidate pairs — a quadratically larger
+    WORKLOAD, not a skew test.  This fixture holds total pair volume
+    comparable to the uniform run and concentrates it.)
+    """
+    import numpy as np
+
+    from osm_conflate_spark.functions.sqlgen import M_PER_DEG
+
+    pages_path = os.path.join(BENCH_DIR, f"pages_skew_{n_pages}.parquet")
+    osm_path = os.path.join(BENCH_DIR, f"osm_skew_{n_pages}.parquet")
+    if not (os.path.exists(pages_path) and os.path.exists(osm_path)):
+        import pandas as pd
+
+        from osm_conflate_spark.gen import gen_dataset, gen_osm, gen_pages
+
+        chunk = 200_000
+        os.makedirs(BENCH_DIR, exist_ok=True)
+        ds_parts = []
+        for off in range(0, n_pages, chunk):
+            n = min(chunk, n_pages - off)
+            ds = gen_dataset(n, seed=42 + off)
+            ds["id"] = ds["id"] + f"_{off}"
+            shift = (off // chunk) * 1.37
+            ds["lon"] = ((ds["lon"] + 180.0 + shift) % 360.0) - 180.0
+            ds_parts.append(ds)
+        ds_all = pd.concat(ds_parts, ignore_index=True)
+        dense_n = min(dense_n, len(ds_all))
+        rng = np.random.default_rng(99)
+        clat, clon = 55.75, 37.61
+        dlat = 1000.0 / M_PER_DEG
+        dlon = 1000.0 / (M_PER_DEG * np.cos(np.radians(clat)))
+        ds_all.loc[: dense_n - 1, "lat"] = (
+            clat + rng.uniform(-1, 1, dense_n) * dlat
+        )
+        ds_all.loc[: dense_n - 1, "lon"] = (
+            clon + rng.uniform(-1, 1, dense_n) * dlon
+        )
+        osm_all = gen_osm(ds_all, seed=43)
+        pages_all = gen_pages(ds_all, seed=42)
+        pages_all["url"] = ds_all["url"] + "?c=" + ds_all["id"]
+        spark.createDataFrame(
+            pages_all[["url", "warc_ts", "html", "lang", "text"]],
+            schema="url string, warc_ts timestamp, html binary, lang string, text string",
+        ).repartition(32).write.mode("overwrite").parquet(pages_path)
+        spark.createDataFrame(
+            osm_all.drop(columns=["kind"]),
+            schema="osm_type string, osm_id long, version int, lat double, lon double, tags_raw string",
+        ).repartition(32).write.mode("overwrite").parquet(osm_path)
+    return pages_path, osm_path
+
+
 def run_pipeline(spark, pages_path: str, osm_path: str) -> dict:
     """pages -> extract U1 -> dataset points -> conflate vs osm -> changes
     + tiles + metrics; returns wall seconds + row counts."""
@@ -143,6 +203,8 @@ def run_pipeline(spark, pages_path: str, osm_path: str) -> dict:
         n_tiles=n_tiles,
         actions=action_counts,
         pages_per_sec=n_pages / wall,
+        match_groups=ms.get("groups", []),
+        salt_splits=ms.get("salt_splits", []),
     )
 
 
@@ -161,6 +223,8 @@ def main():
 
     if scaling:
         return run_scaling(sf_dir)
+    if "--skew" in sys.argv:
+        return run_skew(sf_dir, cpus)
 
     from osm_conflate_spark.plans.pipeline import build_session
 
@@ -222,6 +286,68 @@ def main():
         result["queries"][name] = round(time.monotonic() - t0, 3)
     print(json.dumps(result))
     spark.stop()
+
+
+def run_skew(sf_dir: str, cpus: int):
+    """Adversarial-skew evidence (round-2 verdict #2): same pipeline on a
+    uniform-density input vs one with a single super-block holding
+    several-times-salt-cap candidate pairs.  Reports wall ratio plus
+    lineage proof that the salt split fired (sibling kernel groups under
+    one parent block) and that no kernel group exceeded the cap."""
+    from osm_conflate_spark.plans.pipeline import build_session
+
+    spark = build_session(
+        app="bench-skew",
+        master=os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", max(32, cpus))),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if os.environ.get("SPARK_GRAFT_BENCH_N"):
+        n_pages = int(os.environ["SPARK_GRAFT_BENCH_N"])
+    else:
+        import duckdb
+
+        n_pages = duckdb.sql(
+            f"SELECT count(*) FROM '{sf_dir}/lineitem.parquet'"
+        ).fetchone()[0]
+    up, uo = ensure_bench_tables(spark, int(n_pages))
+    sp, so = ensure_skew_tables(spark, int(n_pages))
+    run_pipeline(spark, up, uo)  # warmup
+    uni = run_pipeline(spark, up, uo)
+    run_pipeline(spark, sp, so)  # warmup
+    skw = run_pipeline(spark, sp, so)
+
+    splits = skw["salt_splits"]
+    max_presplit = max((s["n_pairs"] for s in splits), default=0)
+    max_kernel_in = max((g["n_in"] for g in skw["match_groups"]), default=0)
+    ratio = skw["wall_sec"] / uni["wall_sec"]
+    summary = {
+        "metric": "skew_wall_ratio",
+        "value": round(ratio, 3),
+        "unit": "ratio",
+        "sf": sf_of(sf_dir),
+        "uniform_sec": round(uni["wall_sec"], 2),
+        "skew_sec": round(skw["wall_sec"], 2),
+        "n_pages": skw["n_pages"],
+        "n_split_blocks": len(splits),
+        "max_block_pairs_presplit": max_presplit,
+        "max_kernel_pairs_postsplit": max_kernel_in,
+        "uniform_split_blocks": len(uni["salt_splits"]),
+        "queries": {},
+    }
+    print(json.dumps(summary))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(
+            f"\n| skew run sf={summary['sf']} n={summary['n_pages']} | "
+            f"uniform {summary['uniform_sec']}s | skew {summary['skew_sec']}s "
+            f"(ratio {summary['value']}) | salt split fired on "
+            f"{summary['n_split_blocks']} block(s), biggest "
+            f"{summary['max_block_pairs_presplit']} pairs pre-split; max "
+            f"kernel saw {summary['max_kernel_pairs_postsplit']} pairs |\n"
+        )
+    spark.stop()
+    return summary
 
 
 def _have_taskset() -> bool:

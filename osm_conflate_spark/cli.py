@@ -51,6 +51,9 @@ def main(argv=None) -> None:
 
     from .sources.catalog import read_input
 
+    for kv in args.conf:
+        if "=" not in kv:
+            ap.error(f"--conf expects K=V, got {kv!r}")
     extra_conf = dict(kv.split("=", 1) for kv in args.conf)
     preexisting = SparkSession.getActiveSession() is not None
     spark = build_session(app="conflate-spark", extra_conf=extra_conf)

@@ -74,6 +74,10 @@ class ConflateConfig:
     block_cells: int = 32
     #: pairs-per-kernel-group cap before salting kicks in (skew guard)
     salt_cap_pairs: int = 2_000_000
+    #: D2 dup graphs up to this many pairs resolve on the driver
+    #: (sequential scan, exact); bigger graphs take the distributed
+    #: fixpoint.  0 forces the distributed path (driver-contract query)
+    dedup_driver_max_pairs: int = 500_000
     #: z level for the raster summary tile layer (X8)
     tile_zoom: int = 12
     #: max outer rounds of the distributed greedy fixed point (safety valve)

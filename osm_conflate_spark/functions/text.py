@@ -132,9 +132,13 @@ def fingerprint_col(text: str, k: int = 8, portable: bool = False) -> Column:
         f"transform(sequence(1, length({text}) - {k} + 1), i -> substring({text}, i, {k})) "
         f"ELSE array({text}) END"
     )
+    # NULL text -> NULL fingerprint on BOTH engines: without the guard,
+    # Spark's least() skips the NULL hash and returns the INT64_MAX init
+    # while DuckDB's CASE yields NULL — a cross-engine divergence
     return F.expr(
+        f"CASE WHEN {text} IS NULL THEN CAST(NULL AS BIGINT) ELSE "
         f"aggregate(transform({grams}, g -> {h}), cast(9223372036854775807 as bigint), "
-        f"(acc, h) -> least(acc, h))"
+        f"(acc, h) -> least(acc, h)) END"
     )
 
 
@@ -144,7 +148,8 @@ def fingerprint_duck_sql(text: str, k: int = 8) -> str:
 
     h = hash60_sql(f"substr({text}, i, {k})", "duck")
     return (
-        f"CASE WHEN length({text}) >= {k} THEN "
+        f"CASE WHEN {text} IS NULL THEN CAST(NULL AS BIGINT) "
+        f"WHEN length({text}) >= {k} THEN "
         f"list_min([{h} FOR i IN range(1, length({text}) - {k} + 2)]) "
         f"ELSE {hash60_sql(text, 'duck')} END"
     )

@@ -325,15 +325,28 @@ def greedy_match(
         t0 = _time.monotonic()
         if n_live > cfg.salt_cap_pairs:
             sizes = live.groupBy("block").count()
-            oversized = sizes.where(F.col("count") > cfg.salt_cap_pairs)
+            # the oversized set is tiny (blocks above the cap) — collect
+            # it once so it can (a) drive the split and (b) be recorded
+            # as lineage evidence that the skew guard actually fired
+            ov_rows = sizes.where(
+                F.col("count") > cfg.salt_cap_pairs
+            ).collect()
         else:
-            oversized = None
-        if oversized is not None and oversized.limit(1).count() > 0:
+            ov_rows = []
+        if ov_rows:
+            if stats is not None:
+                stats.setdefault("salt_splits", []).extend(
+                    dict(round=_round, block=int(r["block"]),
+                         n_pairs=int(r["count"]))
+                    for r in ov_rows
+                )
             nsplit = 16
-            live = live.join(
-                F.broadcast(oversized.select("block").withColumn("oversized", F.lit(True))),
-                "block", "left",
-            ).withColumn(
+            ov_df = F.broadcast(
+                spark.createDataFrame(
+                    [(int(r["block"]),) for r in ov_rows], "block long"
+                ).withColumn("oversized", F.lit(True))
+            )
+            live = live.join(ov_df, "block", "left").withColumn(
                 "block",
                 F.when(
                     F.col("oversized").isNotNull(),

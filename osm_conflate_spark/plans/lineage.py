@@ -23,10 +23,19 @@ def config_hash(cfg) -> str:
     d = asdict(cfg) if is_dataclass(cfg) else dict(cfg)
 
     def stable(v):
-        # callables hash by qualified name, not memory address, so the
-        # resume cache stays valid across processes
+        # callables hash by qualified name PLUS their compiled code, so
+        # the resume cache stays valid across processes but editing a
+        # hook body (same lambda name!) invalidates stale checkpoints
         if callable(v):
-            return getattr(v, "__qualname__", repr(v.__class__))
+            name = getattr(v, "__qualname__", repr(v.__class__))
+            code = getattr(v, "__code__", None)
+            if code is None:  # builtins / partials / C callables
+                return name
+            consts = hashlib.sha256(
+                repr(code.co_consts).encode()
+            ).hexdigest()[:12]
+            body = hashlib.sha256(code.co_code).hexdigest()[:12]
+            return f"{name}:{body}:{consts}"
         return repr(v)
 
     payload = json.dumps(

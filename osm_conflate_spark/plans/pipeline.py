@@ -118,6 +118,14 @@ class ConflatePipeline:
                 dict(stage="match_kernel", group_id=g["block"], n_in=g["n_in"],
                      n_out=g["n_matched"], wall_ms=g["wall_ms"], resumed=False)
             )
+        # skew-guard evidence: which blocks exceeded salt_cap_pairs and
+        # were hash-split (n_in = the pre-split pair count)
+        for srec in stats.get("salt_splits", []):
+            self.runner.lineage.append(
+                dict(stage="salt_split", group_id=srec["block"],
+                     n_in=srec["n_pairs"], n_out=-1, wall_ms=0.0,
+                     resumed=False)
+            )
         return matched, vicinity
 
     # -- full run -------------------------------------------------------------
@@ -179,6 +187,21 @@ class ConflatePipeline:
         )
 
 
+_TMPFS_MIN_FREE_BYTES = 8 << 30  # shuffle spill needs real headroom
+
+
+def _tmpfs_has_headroom(path: str, min_free: int = _TMPFS_MIN_FREE_BYTES) -> bool:
+    import os
+
+    if not os.path.isdir(path):
+        return False
+    try:
+        st = os.statvfs(path)
+    except OSError:
+        return False
+    return st.f_bavail * st.f_frsize >= min_free
+
+
 def build_session(
     app: str = "osm-conflate-spark",
     master: str | None = None,
@@ -213,12 +236,14 @@ def build_session(
     # a real cluster has node-local NVMe per executor; a single box's one
     # virtual disk otherwise serializes all executors' shuffle writes
     # (measured: the 8-executor leg loses ~2x at 6M pages on /tmp).
-    # Harmless opt-out via SPARK_LOCAL_DIRS; never set on a real cluster
+    # Only opted into when /dev/shm actually has headroom (containers
+    # often mount it at 64MB — writing shuffle there fails with ENOSPC);
+    # harmless opt-out via SPARK_LOCAL_DIRS; never set on a real cluster
     # (spark-submit conf wins there).
     if (
         "SPARK_LOCAL_DIRS" not in os.environ
         and not os.environ.get("SPARK_MASTER")
-        and os.path.isdir("/dev/shm")
+        and _tmpfs_has_headroom("/dev/shm")
     ):
         b = b.config("spark.local.dir", "/dev/shm/spark-graft-local")
     return (

@@ -29,17 +29,31 @@ from pyspark.sql import DataFrame, SparkSession
 
 def looks_like_path(ref: str) -> bool:
     """Paths contain a separator, a scheme, or exist on disk; anything
-    else is treated as a catalog table name (``cat.db.table``)."""
-    return (
-        "/" in ref
-        or ref.endswith(".parquet")
-        or "://" in ref
-        or os.path.exists(ref)
-    )
+    else is treated as a catalog table name (``cat.db.table``).
+
+    Dotted multi-part names win over the filesystem-existence fallback:
+    ``cat.db.pages`` is a table even if a file of that name happens to
+    sit in the CWD (the existence check only disambiguates bare
+    single-part names).  Callers can force either side with the explicit
+    ``table:`` / ``path:`` prefixes handled by :func:`read_input`.
+    """
+    if "/" in ref or ref.endswith(".parquet") or "://" in ref:
+        return True
+    if "." in ref:  # dotted name => catalog reference, never a CWD file
+        return False
+    return os.path.exists(ref)
 
 
 def read_input(spark: SparkSession, ref: str) -> DataFrame:
-    """Read a pipeline input from a parquet path OR a catalog table."""
+    """Read a pipeline input from a parquet path OR a catalog table.
+
+    ``table:cat.db.pages`` / ``path:some/dir`` prefixes override the
+    heuristic dispatch entirely.
+    """
+    if ref.startswith("table:"):
+        return spark.read.table(ref[len("table:"):])
+    if ref.startswith("path:"):
+        return spark.read.parquet(ref[len("path:"):])
     if looks_like_path(ref):
         return spark.read.parquet(ref)
     return spark.read.table(ref)

@@ -124,12 +124,14 @@ def test_embedding_dup_srp_vs_brute(spark, emb):
     srp = {
         (r["id_a"], r["id_b"])
         for r in dd.embedding_dup_pairs(
-            emb, "embedding", "vec_id", threshold=0.95, n_planes=8
+            emb, "embedding", "vec_id", threshold=0.95, n_planes=8, dim=64
         ).collect()
     }
     assert srp <= brute
     if brute:
         assert len(srp) >= len(brute) * 0.5  # recall sanity at 8 planes
+    with pytest.raises(ValueError):  # SRP path must not silently .first()
+        dd.embedding_dup_pairs(emb, "embedding", "vec_id", threshold=0.95)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,244 @@
+"""Round-3 additions: E2 audit round-trip (SURVEY §4 E2), unbiased IVF
+centroids on clustered ids, config-hash hook-body sensitivity, catalog
+dispatch prefixes, fingerprint NULL parity, tmpfs headroom guard."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osm_conflate_spark import reference_model as rm
+from osm_conflate_spark.config import ConflateConfig
+from osm_conflate_spark.gen import gen_dataset, gen_osm
+from osm_conflate_spark.operators import similarity as sim
+from osm_conflate_spark.plans.lineage import config_hash
+from osm_conflate_spark.plans.pipeline import ConflatePipeline
+
+from helpers import (
+    changes_set_oracle, changes_set_spark, ds_to_oracle, ds_to_spark,
+    matched_set_spark, osm_to_oracle, osm_to_spark,
+)
+
+
+# ---------------------------------------------------------------------------
+# E2 — library use / audit round-trip (SURVEY §4 E2): run E1, derive an
+# audit from the FIRST run's own output (the reference workflow: upload
+# preview to the audit UI, download decisions), rerun, assert overrides
+# applied and the run is deterministic under the audit.
+# ---------------------------------------------------------------------------
+
+def test_e2_audit_round_trip(spark):
+    ds_pdf = gen_dataset(80, seed=93, dup_id_frac=0, spatial_dup_frac=0)
+    osm_pdf = gen_osm(ds_pdf, seed=94)
+    cfg = ConflateConfig()
+    ds_df, osm_df = ds_to_spark(spark, ds_pdf), osm_to_spark(spark, osm_pdf)
+
+    run1 = ConflatePipeline(spark, cfg).run(ds_df, osm_df)
+    matched1 = matched_set_spark(run1["matched"])
+    assert matched1, "fixture must produce matches"
+    ids = sorted(d for d, _, _ in matched1)
+    skip_ids, fix_ids = ids[:3], ids[3:5]
+
+    audit_rows = [(i, True, False, True, None, None) for i in skip_ids] + [
+        (i, False, False, True, 9.25, -3.5) for i in fix_ids
+    ]
+    audit_df = spark.createDataFrame(
+        audit_rows,
+        "dataset_id string, skip boolean, keep boolean, move boolean, "
+        "fix_lat double, fix_lon double",
+    )
+    audit_dict = {i: {"skip": True} for i in skip_ids}
+    audit_dict.update({i: {"fix_lat": 9.25, "fix_lon": -3.5} for i in fix_ids})
+
+    res_o = rm.conflate(
+        ds_to_oracle(ds_pdf), osm_to_oracle(osm_pdf), cfg, audit_dict
+    )
+    run2 = ConflatePipeline(spark, cfg).run(ds_df, osm_df, audit=audit_df)
+    changes2 = changes_set_spark(run2["changes"])
+    assert changes2 == changes_set_oracle(res_o)
+
+    # overrides applied: skipped ids never match; fixed matched ids pinned
+    matched2 = matched_set_spark(run2["matched"])
+    matched2_ids = {d for d, _, _ in matched2}
+    assert not matched2_ids & set(skip_ids)
+    fixed_rows = [
+        c for c in changes2 if c[7] in fix_ids and c[7] in matched2_ids
+    ]
+    assert fixed_rows and all(
+        c[4] == 9.25 and c[5] == -3.5 for c in fixed_rows
+    )
+
+    # determinism: the audited run replays identically (E2 contract)
+    run3 = ConflatePipeline(spark, cfg).run(ds_df, osm_df, audit=audit_df)
+    assert changes_set_spark(run3["changes"]) == changes2
+    # pairs not touched by the audit (and not competing with a freed OSM
+    # point) are stable across the round-trip
+    freed_osm = {o for d, o, _ in matched1 if d in set(skip_ids)}
+    stable1 = {
+        (d, o) for d, o, _ in matched1
+        if d not in set(skip_ids) and o not in freed_osm
+    }
+    assert stable1 <= {(d, o) for d, o, _ in matched2}
+
+
+# ---------------------------------------------------------------------------
+# IVF — stratified centroids on an id-clustered corpus (round-2 verdict
+# "What's wrong" #2: lowest-id sampling collapses when the first n ids
+# are one dense cluster)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """100 vectors, 3 far-apart clusters with pseudo-random per-member
+    jitter; ids 0..49 are ALL cluster A — the adversarial layout for a
+    lowest-id centroid sample (every low-id centroid sits in A, so B1/B2
+    members get bucketed by jitter noise and their neighbors scatter)."""
+    import hashlib
+
+    dim = 8
+
+    def pj(i, dims, scale):
+        v = np.zeros(dim)
+        for j in dims:
+            h = int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8], 16)
+            v[j] = ((h % 1000) / 1000 - 0.5) * 2 * scale
+        return v
+
+    rows = []
+    for i in range(100):
+        if i < 50:
+            v = np.array([10.0, 0, 0, 0, 0, 0, 0, 0]) + pj(i, [1, 2, 3], 0.4)
+        elif i < 75:
+            v = np.array([0, 0, 0, 0, 10.0, 0, 0, 0]) + pj(i, [1, 2, 3, 5, 6], 0.4)
+        else:
+            v = np.array([0, 0, 0, 0, 0, 0, 0, 10.0]) + pj(i, [1, 2, 3, 5, 6], 0.4)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]),
+        "vec_id long, embedding array<double>",
+    ).cache()
+
+
+def _recall(exact_df, approx_df):
+    exact = {(r["query_id"], r["neighbor_id"]) for r in exact_df.collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_df.collect()}
+    return len(exact & approx) / len(exact)
+
+
+def test_ivf_stratified_beats_lowest_id_centroids(spark, clustered_emb):
+    corpus = clustered_emb
+    queries = corpus.where(
+        F.col("vec_id").isin(list(range(50, 60)) + list(range(75, 85)))
+    )
+    exact = sim.brute_force_topk(queries, corpus, k=5)
+    # adversarial baseline: the round-2 centroid rule (lowest 9 ids —
+    # all cluster A)
+    biased_cents = (
+        corpus.orderBy(F.col("vec_id").asc()).limit(9)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    biased = sim.ivf_topk(
+        queries, corpus, k=5, n_centroids=9, n_probe=3, centroids=biased_cents
+    )
+    # portable hash so the stratified picks match the prototyped draw
+    # (hash-stratification covers all three clusters at n=9)
+    from osm_conflate_spark.functions.sqlgen import hash60_sql
+
+    stratified = sim.ivf_topk(
+        queries, corpus, k=5, n_centroids=9, n_probe=3,
+        hash_sql=hash60_sql("CAST(vec_id AS STRING)", "spark"),
+    )
+    r_biased, r_strat = _recall(exact, biased), _recall(exact, stratified)
+    assert r_strat >= 0.95, f"stratified recall {r_strat}"
+    assert r_biased <= 0.85, f"biased recall {r_biased}"
+
+
+def test_measure_ivf_recall_logs_lineage(spark, clustered_emb):
+    corpus = clustered_emb
+    queries = corpus.where(F.col("vec_id") < 5)
+    lineage: list = []
+    recall = sim.measure_ivf_recall(
+        queries, corpus, k=3, n_centroids=4, n_probe=2, lineage=lineage
+    )
+    assert 0.0 <= recall <= 1.0
+    assert lineage and lineage[0]["stage"] == "ivf_recall"
+    assert lineage[0]["n_out"] <= lineage[0]["n_in"]
+    assert recall == lineage[0]["n_out"] / lineage[0]["n_in"]
+
+
+# ---------------------------------------------------------------------------
+# config_hash — editing a hook body (same __qualname__) must change the
+# hash (ADVICE round 2: stale --resume checkpoints served for edited
+# lambdas)
+# ---------------------------------------------------------------------------
+
+def test_config_hash_sensitive_to_hook_body():
+    cfg_a = ConflateConfig(weight=lambda tags: 1.0)
+    cfg_b = ConflateConfig(weight=lambda tags: 2.0)
+    cfg_a2 = ConflateConfig(weight=lambda tags: 1.0)
+    assert config_hash(cfg_a) != config_hash(cfg_b)
+    # identical body -> identical hash (resume stays valid across procs)
+    assert config_hash(cfg_a) == config_hash(cfg_a2)
+    # builtins (no __code__) still hash stably
+    cfg_c = ConflateConfig(weight=len)
+    assert config_hash(cfg_c) == config_hash(ConflateConfig(weight=len))
+
+
+# ---------------------------------------------------------------------------
+# catalog dispatch — explicit prefixes + dotted-name-over-CWD-file
+# ---------------------------------------------------------------------------
+
+def test_catalog_prefixes_and_dotted_names(spark, tmp_path, monkeypatch):
+    from osm_conflate_spark.sources.catalog import looks_like_path, read_input
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(3).write.mode("overwrite").parquet(p)
+    assert read_input(spark, f"path:{p}").count() == 3
+    spark.range(2).createOrReplaceTempView("cat_probe_v2")
+    assert read_input(spark, "table:cat_probe_v2").count() == 2
+    # a CWD file named like a catalog table must NOT shadow the table
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "ice.db.pages").mkdir()
+    assert not looks_like_path("ice.db.pages")
+
+
+# ---------------------------------------------------------------------------
+# fingerprint NULL parity (ADVICE round 2)
+# ---------------------------------------------------------------------------
+
+def test_fingerprint_null_text_cross_engine(spark):
+    import duckdb
+
+    from osm_conflate_spark.functions import text as tf
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "hello world document")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", tf.fingerprint_col("text", portable=True).alias("fp")
+        ).collect()
+    }
+    assert got[1] is None and got[2] is not None
+    duck = dict(
+        duckdb.sql(
+            "SELECT doc_id, "
+            + tf.fingerprint_duck_sql("text")
+            + " AS fp FROM (VALUES (1, CAST(NULL AS VARCHAR)), "
+            "(2, 'hello world document')) t(doc_id, text)"
+        ).fetchall()
+    )
+    assert duck == got
+
+
+# ---------------------------------------------------------------------------
+# tmpfs headroom guard (ADVICE round 2: 64MB /dev/shm containers)
+# ---------------------------------------------------------------------------
+
+def test_tmpfs_headroom_guard():
+    from osm_conflate_spark.plans.pipeline import _tmpfs_has_headroom
+
+    assert not _tmpfs_has_headroom("/nonexistent/path")
+    # an absurd requirement must fail even on a big tmpfs
+    assert not _tmpfs_has_headroom("/dev/shm", min_free=1 << 60)
