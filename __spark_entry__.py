@@ -639,6 +639,207 @@ def _q_conflate_changes_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair lists aren't what a dedup pipeline keeps — clusters are.
+    MinHash pairs (portable hashing) -> distributed connected components
+    (min-label propagation) -> (doc, cluster_id); the oracle replays the
+    whole chain with a recursive min-reachability CTE."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=32, bands=8, threshold=0.2,
+        portable=True,
+    )
+    return dd.dup_clusters(docs, pairs)
+
+
+def _minhash_clusters_oracle_duck() -> str:
+    return f"""
+WITH RECURSIVE p AS ({_minhash_oracle_duck()}),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM p
+),
+reach AS (
+  SELECT src AS node, src AS r FROM e
+  UNION
+  SELECT e.dst AS node, reach.r FROM reach JOIN e ON e.src = reach.node
+),
+lab AS (SELECT node AS doc, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT doc, cluster_id FROM lab
+UNION ALL
+SELECT doc_id AS doc, doc_id AS cluster_id FROM documents
+WHERE doc_id NOT IN (SELECT doc FROM lab)
+"""
+
+
+def _q_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL dedup story end-to-end: minhash pairs -> connected
+    components -> one keeper per cluster (what a training-data pipeline
+    actually writes out)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=32, bands=8, threshold=0.2,
+        portable=True,
+    )
+    return dd.dup_keepers(dd.dup_clusters(docs, pairs)).select(
+        F.col("keeper_id").alias("doc_id"), "n_members"
+    )
+
+
+def _minhash_dedup_docs_oracle_duck() -> str:
+    return f"""
+WITH RECURSIVE p AS ({_minhash_oracle_duck()}),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM p
+),
+reach AS (
+  SELECT src AS node, src AS r FROM e
+  UNION
+  SELECT e.dst AS node, reach.r FROM reach JOIN e ON e.src = reach.node
+),
+lab AS (SELECT node AS doc, min(r) AS cluster_id FROM reach GROUP BY node),
+allc AS (
+  SELECT doc, cluster_id FROM lab
+  UNION ALL
+  SELECT doc_id AS doc, doc_id AS cluster_id FROM documents
+  WHERE doc_id NOT IN (SELECT doc FROM lab)
+)
+SELECT min(doc) AS doc_id, count(*) AS n_members FROM allc GROUP BY cluster_id
+"""
+
+
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style document quality filter (word-count bounds, mean
+    word length, alphabetic ratio) — pure Column exprs, JVM-side."""
+    _register(spark, sf_dir)
+    p = tfn.quality_filter_parts("text", "spark")
+    return spark.sql(
+        f"SELECT doc_id, {p['n_words']} AS n_words, "
+        f"{p['mean_word_len']} AS mean_word_len, "
+        f"{p['alpha_ratio']} AS alpha_ratio, {p['keep']} AS keep "
+        f"FROM documents"
+    )
+
+
+def _quality_filter_oracle_duck() -> str:
+    p = tfn.quality_filter_parts("text", "duck")
+    return (
+        f"SELECT doc_id, {p['n_words']} AS n_words, "
+        f"{p['mean_word_len']} AS mean_word_len, "
+        f"{p['alpha_ratio']} AS alpha_ratio, {p['keep']} AS keep "
+        f"FROM documents"
+    )
+
+
+def _q_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest OSM points per dataset point (k=3) within max_distance:
+    the cell-grid candidate join + a per-dataset-point window — the
+    standalone kNN spatial-join operator (north_rule 'kNN').  The grid's
+    k-ring-1 completeness guarantee makes the within-radius kNN exact,
+    which the brute-force DuckDB oracle checks."""
+    ds, osm = _derived_points(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    pairs = candidate_pairs(ds, osm, _CFG).where(F.col("dist_pre") <= 100.0)
+    okey = F.expr("CAST(substring(osm_pk, 2) AS LONG)")
+    w = Window.partitionBy("dataset_id").orderBy(
+        F.col("dist_pre").asc(), okey.asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            F.col("dataset_id").cast("long").alias("dataset_key"),
+            okey.alias("osm_key"),
+            F.round("dist_pre", 3).alias("dist_m"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def _spatial_knn_oracle_duck() -> str:
+    dist = sqlgen.distance_sql("d.lat", "d.lon", "m.lat", "m.lon")
+    return f"""
+WITH d AS ({_DS_PTS}), m AS ({_OSM_PTS}),
+cand AS (
+  SELECT d.k AS dataset_key, m.k AS osm_key, {dist} AS dist
+  FROM d JOIN m ON ({dist}) <= 100.0E0
+)
+SELECT dataset_key, osm_key, round(dist, 3) AS dist_m, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY dataset_key
+                               ORDER BY dist, osm_key) AS rank
+  FROM cand
+) t WHERE rank <= 3
+"""
+
+
+def _q_tile_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster -> vector: occupied z12 tiles as vector bbox features
+    (inverse web-mercator bounds) with per-tile point counts."""
+    _register(spark, sf_dir)
+    from osm_conflate_spark.operators.raster import tile_summary
+
+    return tile_summary(spark.sql(_DS_PTS), zoom=12)
+
+
+def _tile_polygons_oracle_duck() -> str:
+    return f"""
+WITH pts AS ({_DS_PTS}),
+b AS (SELECT {sqlgen.tile_x_sql('lon', 12)} AS x,
+             {sqlgen.tile_y_sql('lat', 12)} AS y FROM pts)
+SELECT 12 AS z, x, y, count(*) AS n_points,
+       round({sqlgen.tile_lon_sql('x', 12)}, 9) AS west,
+       round({sqlgen.tile_lat_sql('y + 1', 12)}, 9) AS south,
+       round({sqlgen.tile_lon_sql('x + 1', 12)}, 9) AS east,
+       round({sqlgen.tile_lat_sql('y', 12)}, 9) AS north
+FROM b GROUP BY x, y
+"""
+
+
+_SESSION_GAP_S = 1800
+
+
+def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch twin of the
+    applyInPandasWithState streaming operator in streaming/sessions.py)."""
+    _register(spark, sf_dir)
+    from osm_conflate_spark.streaming.sessions import sessionize
+
+    return sessionize(spark.table("events"), gap_seconds=_SESSION_GAP_S)
+
+
+def _event_sessions_oracle_duck() -> str:
+    return f"""
+WITH x AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+y AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                  OR CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(prev_ts)) AS BIGINT) > {_SESSION_GAP_S}
+             THEN 1 ELSE 0 END AS is_new
+  FROM x
+),
+z AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess
+  FROM y
+)
+SELECT user_id,
+       CAST(floor(min(epoch(ts))) AS BIGINT) AS session_start,
+       CAST(floor(max(epoch(ts))) AS BIGINT) AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM z GROUP BY user_id, sess
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _sql_query(name)
@@ -666,6 +867,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_topk_ivf=_q_ann_topk_ivf,
         greedy_match_salted=_q_greedy_match_salted,
         conflate_changes_dist=_q_conflate_changes_dist,
+        minhash_clusters=_q_minhash_clusters,
+        # round-3 widening: dedup keepers, quality filter, kNN spatial
+        # join, raster->vector tiles, sessionization
+        minhash_dedup_docs=_q_minhash_dedup_docs,
+        quality_filter=_q_quality_filter,
+        spatial_knn=_q_spatial_knn,
+        tile_polygons=_q_tile_polygons,
+        event_sessions=_q_event_sessions,
     )
     return q
 
@@ -715,6 +924,12 @@ def oracle_sql() -> dict[str, str]:
     out["ann_topk_ivf"] = _ann_topk_ivf_oracle_duck()
     out["greedy_match_salted"] = _GREEDY_ORACLE
     out["conflate_changes_dist"] = _changes_dist_oracle_duck()
+    out["minhash_clusters"] = _minhash_clusters_oracle_duck()
+    out["minhash_dedup_docs"] = _minhash_dedup_docs_oracle_duck()
+    out["quality_filter"] = _quality_filter_oracle_duck()
+    out["spatial_knn"] = _spatial_knn_oracle_duck()
+    out["tile_polygons"] = _tile_polygons_oracle_duck()
+    out["event_sessions"] = _event_sessions_oracle_duck()
     return out
 
 

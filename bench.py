@@ -136,7 +136,7 @@ def ensure_skew_tables(spark, n_pages: int, dense_n: int = 30_000):
     return pages_path, osm_path
 
 
-def run_pipeline(spark, pages_path: str, osm_path: str) -> dict:
+def run_pipeline(spark, pages_path: str, osm_path: str, cfg=None) -> dict:
     """pages -> extract U1 -> dataset points -> conflate vs osm -> changes
     + tiles + metrics; returns wall seconds + row counts."""
     from pyspark.sql import functions as F
@@ -149,7 +149,7 @@ def run_pipeline(spark, pages_path: str, osm_path: str) -> dict:
         poi_tags_map_sql,
     )
 
-    cfg = ConflateConfig()
+    cfg = cfg or ConflateConfig()
     t0 = time.monotonic()
     pages = spark.read.parquet(pages_path).select("url", "warc_ts", "html", "lang")
     extracted = pages.mapInPandas(extract_pages_iter, EXTRACT_SCHEMA)
@@ -310,28 +310,62 @@ def run_skew(sf_dir: str, cpus: int):
         n_pages = duckdb.sql(
             f"SELECT count(*) FROM '{sf_dir}/lineitem.parquet'"
         ).fetchone()[0]
+    from osm_conflate_spark.config import ConflateConfig
+
     up, uo = ensure_bench_tables(spark, int(n_pages))
     sp, so = ensure_skew_tables(spark, int(n_pages))
     run_pipeline(spark, up, uo)  # warmup
     uni = run_pipeline(spark, up, uo)
     run_pipeline(spark, sp, so)  # warmup
     skw = run_pipeline(spark, sp, so)
+    # counterfactual: the SAME skewed input with the salt guard disabled —
+    # one kernel swallows the whole dense block; this is what the split
+    # actually buys (the uniform-vs-skew wall ratio alone conflates skew
+    # with the extra pair VOLUME a >cap block necessarily adds)
+    nosalt_cfg = ConflateConfig(salt_cap_pairs=10**12)
+    skw_nosalt = run_pipeline(spark, sp, so, cfg=nosalt_cfg)
+
+    def pair_volume(res):
+        # round-0 kernel input pairs (post-split sum == pre-split sum)
+        return sum(
+            g["n_in"] for g in res["match_groups"] if g.get("round", 0) == 0
+        )
 
     splits = skw["salt_splits"]
     max_presplit = max((s["n_pairs"] for s in splits), default=0)
     max_kernel_in = max((g["n_in"] for g in skw["match_groups"]), default=0)
-    ratio = skw["wall_sec"] / uni["wall_sec"]
+    max_kernel_nosalt = max(
+        (g["n_in"] for g in skw_nosalt["match_groups"]), default=0
+    )
+
+    def straggler_ms(res):
+        # the longest single kernel task = the stage's wall-clock floor
+        # on a cluster with enough executors (32 local cores hide the
+        # straggler behind total work; 1000 executors don't)
+        return max((g["wall_ms"] for g in res["match_groups"]), default=0)
     summary = {
-        "metric": "skew_wall_ratio",
-        "value": round(ratio, 3),
+        "metric": "skew_salting_speedup",
+        "value": round(skw_nosalt["wall_sec"] / skw["wall_sec"], 3),
         "unit": "ratio",
         "sf": sf_of(sf_dir),
         "uniform_sec": round(uni["wall_sec"], 2),
         "skew_sec": round(skw["wall_sec"], 2),
+        "skew_nosalt_sec": round(skw_nosalt["wall_sec"], 2),
         "n_pages": skw["n_pages"],
+        "uniform_pairs": pair_volume(uni),
+        "skew_pairs": pair_volume(skw),
+        "wall_ratio_vs_uniform": round(skw["wall_sec"] / uni["wall_sec"], 3),
+        "per_pair_ratio_vs_uniform": round(
+            (skw["wall_sec"] / max(1, pair_volume(skw)))
+            / (uni["wall_sec"] / max(1, pair_volume(uni))), 3
+        ),
         "n_split_blocks": len(splits),
         "max_block_pairs_presplit": max_presplit,
         "max_kernel_pairs_postsplit": max_kernel_in,
+        "max_kernel_pairs_nosalt": max_kernel_nosalt,
+        "straggler_ms_salted": round(straggler_ms(skw), 1),
+        "straggler_ms_nosalt": round(straggler_ms(skw_nosalt), 1),
+        "straggler_ms_uniform": round(straggler_ms(uni), 1),
         "uniform_split_blocks": len(uni["salt_splits"]),
         "queries": {},
     }
@@ -340,11 +374,18 @@ def run_skew(sf_dir: str, cpus: int):
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
         f.write(
             f"\n| skew run sf={summary['sf']} n={summary['n_pages']} | "
-            f"uniform {summary['uniform_sec']}s | skew {summary['skew_sec']}s "
-            f"(ratio {summary['value']}) | salt split fired on "
-            f"{summary['n_split_blocks']} block(s), biggest "
-            f"{summary['max_block_pairs_presplit']} pairs pre-split; max "
-            f"kernel saw {summary['max_kernel_pairs_postsplit']} pairs |\n"
+            f"uniform {summary['uniform_sec']}s ({summary['uniform_pairs']} "
+            f"pairs) | skew salted {summary['skew_sec']}s vs UNsalted "
+            f"{summary['skew_nosalt_sec']}s (salting speedup "
+            f"{summary['value']}x); per-pair cost vs uniform "
+            f"{summary['per_pair_ratio_vs_uniform']}x | split fired on "
+            f"{summary['n_split_blocks']} block(s): "
+            f"{summary['max_block_pairs_presplit']} pairs -> max kernel "
+            f"{summary['max_kernel_pairs_postsplit']} (unsalted kernel: "
+            f"{summary['max_kernel_pairs_nosalt']}); straggler task "
+            f"{summary['straggler_ms_salted']}ms salted vs "
+            f"{summary['straggler_ms_nosalt']}ms unsalted "
+            f"(uniform {summary['straggler_ms_uniform']}ms) |\n"
         )
     spark.stop()
     return summary

@@ -72,8 +72,12 @@ class ConflateConfig:
     cell_m: float = 200.0
     #: super-block edge in cells for the match kernel grouping (§8.4)
     block_cells: int = 32
-    #: pairs-per-kernel-group cap before salting kicks in (skew guard)
-    salt_cap_pairs: int = 2_000_000
+    #: pairs-per-kernel-group cap before the range-cut split kicks in
+    #: (skew guard).  1M pairs ≈ 6 s of kernel CPU — the straggler bound
+    #: a single task may impose on the whole stage at cluster scale;
+    #: oversized blocks are cut into 16 ~equal-pair chunks, so post-split
+    #: kernels are ~cap/16.
+    salt_cap_pairs: int = 1_000_000
     #: D2 dup graphs up to this many pairs resolve on the driver
     #: (sequential scan, exact); bigger graphs take the distributed
     #: fixpoint.  0 forces the distributed path (driver-contract query)

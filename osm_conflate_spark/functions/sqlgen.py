@@ -145,6 +145,30 @@ def tile_y_sql(lat: str, zoom: int) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Inverse slippy tiles (raster -> vector): tile (x, y, z) -> geographic
+# bounds of the tile square.  West/east are linear in x; north/south
+# invert the web-mercator y via lat = degrees(atan(sinh(pi*(1 - 2y/n))))
+# with sinh spelled as (exp(t) - exp(-t))/2 — exp/atan/degrees/pi() are
+# portable across Spark SQL and DuckDB (DuckDB 1.0 has no sinh/asinh).
+# ---------------------------------------------------------------------------
+
+def tile_lon_sql(x: str, zoom: int) -> str:
+    """Longitude of the WEST edge of tile column ``x`` (pass ``x+1`` for
+    the east edge)."""
+    n = 1 << zoom
+    return f"(({x}) * {dlit(360.0)} / {dlit(n)} - {dlit(180.0)})"
+
+
+def tile_lat_sql(y: str, zoom: int) -> str:
+    """Latitude of the NORTH edge of tile row ``y`` (pass ``y+1`` for the
+    south edge)."""
+    n = 1 << zoom
+    t = f"(pi() * ({dlit(1.0)} - {dlit(2.0)} * ({y}) / {dlit(n)}))"
+    sinh = f"((exp({t}) - exp(-{t})) / {dlit(2.0)})"
+    return f"degrees(atan({sinh}))"
+
+
+# ---------------------------------------------------------------------------
 # Deterministic synthetic point derivation (used by __spark_entry__ queries
 # so Spark and the DuckDB oracle compute identical point clouds from the
 # shared TPC-H-ish tables — no external data).

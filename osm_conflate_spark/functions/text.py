@@ -72,6 +72,47 @@ def word_count_sql(text: str, engine: str) -> str:
     )
 
 
+# --- document quality filter (Gopher/C4-style rules, portable) -------------
+
+def quality_filter_parts(
+    text: str,
+    engine: str,
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    min_alpha_ratio: float = 0.55,
+) -> dict:
+    """Gopher-rule-shaped document filter as portable SQL fragments:
+    word-count bounds, mean word length bounds, alphabetic ratio.
+
+    Returns ``{n_words, mean_word_len, alpha_ratio, keep}`` SQL strings
+    (``keep`` is 0/1 INT — booleans hash differently across engines).
+    The ratios are rounded to 6 dp BEFORE the threshold comparison so
+    both engines threshold the same value.
+    """
+    from .sqlgen import dlit
+
+    p = _quality_parts(text, engine)
+    n_words = word_count_sql(text, engine)
+    # non-space chars of the trimmed text / words
+    pt = _quality_parts(f"trim({text})", engine)
+    mean_wl = (
+        f"round((length(trim({text})) - {pt['n_space']}) * 1.0E0 "
+        f"/ greatest({n_words}, 1), 6)"
+    )
+    alpha_ratio = f"round({p['n_alpha']} * 1.0E0 / greatest({p['n_chars']}, 1), 6)"
+    keep = (
+        f"CAST((({n_words}) BETWEEN {min_words} AND {max_words}) "
+        f"AND (({mean_wl}) BETWEEN {dlit(min_mean_word_len)} AND {dlit(max_mean_word_len)}) "
+        f"AND (({alpha_ratio}) >= {dlit(min_alpha_ratio)}) AS INT)"
+    )
+    return dict(
+        n_words=n_words, mean_word_len=mean_wl, alpha_ratio=alpha_ratio,
+        keep=keep,
+    )
+
+
 # --- language id: stopword-hit argmax ---------------------------------------
 
 def langid_spark(text: str) -> Column:

@@ -167,6 +167,93 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Near-dup cluster assignment (distributed connected components)
+# ---------------------------------------------------------------------------
+
+def dup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    pair_a: str = "id_a", pair_b: str = "id_b", max_rounds: int = 32,
+) -> DataFrame:
+    """(doc, cluster_id) — connected components of the near-dup pair
+    graph; ``cluster_id`` = the minimum doc id reachable from the doc.
+    Docs with no dup pair are their own singleton cluster.
+
+    This is the step a real training-data pipeline needs AFTER pair
+    generation (minhash/simhash/ngram/SRP all emit PAIRS): transitively
+    merge pairs into clusters, keep one doc per cluster.
+
+    Distributed min-label propagation: round k joins each node's current
+    label against its neighbors' and keeps the min.  Rounds needed =
+    graph diameter, and near-dup components are chains of a few hops, so
+    this converges in a handful of rounds; each round is two slim
+    shuffles (edge join + min agg) over the PAIR subgraph only — docs
+    without pairs never enter the loop.  Convergence is detected with a
+    changed-count job per round; ``max_rounds`` is a safety valve.
+    """
+    # bidirectional slim edge list over the dup subgraph
+    edges = (
+        pairs.select(F.col(pair_a).alias("src"), F.col(pair_b).alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col(pair_b).alias("src"), F.col(pair_a).alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("src"), F.col("label").alias("src_label")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("src_label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = new_labels.where(F.col("changed")).count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+    clustered = labels.select(
+        F.col("node").alias("doc"), F.col("label").alias("cluster_id")
+    )
+    singletons = (
+        docs.select(F.col(id_col).alias("doc"))
+        .join(clustered, "doc", "left_anti")
+        .withColumn("cluster_id", F.col("doc"))
+    )
+    return clustered.unionByName(singletons)
+
+
+def dup_keepers(clusters: DataFrame) -> DataFrame:
+    """(cluster_id, keeper_id, n_members) — one keeper per near-dup
+    cluster (min doc id; with min-reachable-id cluster labels the keeper
+    IS the cluster id, computed generically anyway)."""
+    return clusters.groupBy("cluster_id").agg(
+        F.min("doc").alias("keeper_id"), F.count(F.lit(1)).alias("n_members")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Shingles / n-grams (shared helpers, pure Column exprs)
 # ---------------------------------------------------------------------------
 

@@ -26,9 +26,20 @@ Distributed design (exactness proof sketch in comments):
   shared OSM points only occur near block borders.
 * Skew (BASELINE.json north_star "explicit salt-based skew splitting"):
   blocks whose pair count exceeds ``cfg.salt_cap_pairs`` are split by a
-  deterministic hash of ``dataset_id`` — correctness is unaffected
-  because splitting only increases the "shared" set, never breaks the
-  all-pairs-of-one-dataset-point invariant.
+  WEIGHTED RANGE CUT over their cells — probe per-(block, ds_cell) pair
+  counts for the oversized blocks only, sort cells by id (spatially
+  row-major) and cut into contiguous chunks of ~equal pair count on the
+  driver.  Balance is guaranteed by construction regardless of hotspot
+  size (a fixed 4x4 quadrant grid measured max-kernel 2.70M of a 3.01M
+  block when the hotspot fit inside one quadrant; id-hash salting made
+  every dense-block OSM point shared and the deferral cascade cost more
+  than the straggler it saved).  Only OSM points within max_distance of
+  a 1-D cut line become shared.  Deferred rounds, which no longer carry
+  ds_cell, fall back to the id-hash salt.  Correctness is unaffected
+  either way because splitting only increases the "shared" set, never
+  breaks the all-pairs-of-one-dataset-point invariant.  Granularity
+  floor: one CELL above the cap can't split further — at that density,
+  shrink cfg.cell_m.
 
 Everything inside the kernel is vectorized numpy (factorize + lexsort +
 ``np.minimum.at`` rounds); there is no per-row Python anywhere.
@@ -253,12 +264,18 @@ def apply_match_predicate(
 
 
 def prepare_pairs(pairs: DataFrame, cfg: ConflateConfig) -> DataFrame:
-    """Candidate pairs -> slim (dataset_id, osm_pk, dist, block) with the
-    authoritative numpy distance and the exact cutoff applied."""
+    """Candidate pairs -> slim (dataset_id, osm_pk, dist, block, ds_cell)
+    with the authoritative numpy distance and the exact cutoff applied.
+
+    ``ds_cell`` (8 bytes/pair) rides along so the skew guard can split
+    oversized blocks SPATIALLY (quadrants preserve locality — only
+    border OSM points defer) instead of by id hash (which makes every
+    OSM point in a dense block shared and triggers a deferral cascade).
+    """
     return (
         _exact_dist(pairs, cfg.max_distance)
         .withColumn("block", _block_col(cfg))
-        .select("dataset_id", "osm_pk", "dist", "block")
+        .select("dataset_id", "osm_pk", "dist", "block", "ds_cell")
     )
 
 
@@ -292,7 +309,10 @@ def greedy_match(
         _phase("prepare_pairs", t0)
     if "negw" not in live.columns:  # U2 weight hook not installed
         live = live.withColumn("negw", F.lit(0.0))
-    live = live.select("dataset_id", "osm_pk", "dist", "negw", "block")
+    live = live.select(
+        "dataset_id", "osm_pk", "dist", "negw", "block",
+        *(["ds_cell"] if "ds_cell" in live.columns else []),
+    )
 
     matched_parts: list[DataFrame] = []
     live_per_round: list[int] = []
@@ -346,14 +366,71 @@ def greedy_match(
                     [(int(r["block"]),) for r in ov_rows], "block long"
                 ).withColumn("oversized", F.lit(True))
             )
-            live = live.join(ov_df, "block", "left").withColumn(
-                "block",
-                F.when(
-                    F.col("oversized").isNotNull(),
-                    F.col("block") * nsplit
-                    + F.pmod(F.xxhash64("dataset_id"), F.lit(nsplit)),
-                ).otherwise(F.col("block") * nsplit),
-            ).drop("oversized")
+            if "ds_cell" in live.columns:
+                # WEIGHTED RANGE-CUT split: probe per-(block, ds_cell)
+                # pair counts for the oversized blocks only (a block is
+                # <= block_cells^2 cells, the oversized set is tiny, so
+                # the collect is bounded), then cut the cell list —
+                # sorted by cell id, i.e. spatially row-major — into
+                # contiguous chunks of ~equal PAIR count on the driver.
+                # A dataset point's pairs all share its ds_cell, so they
+                # stay in one chunk (exactness invariant holds); only
+                # OSM points within max_distance of a 1-D cut line
+                # become shared.  This balances REGARDLESS of hotspot
+                # size — a fixed quadrant grid measured max-kernel
+                # 2.70M of a 3.01M block (hotspot smaller than one
+                # quadrant), and hash-salting by dataset_id made every
+                # dense-block OSM point shared (deferral cascade cost
+                # more than the straggler it saved).  Granularity
+                # floor: one CELL above the cap can't split further —
+                # at that density shrink cfg.cell_m.
+                cell_rows = (
+                    live.join(ov_df.drop("oversized"), "block", "left_semi")
+                    .groupBy("block", "ds_cell")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                )
+                per_block: dict[int, list] = {}
+                for r in cell_rows:
+                    per_block.setdefault(int(r["block"]), []).append(
+                        (int(r["ds_cell"]), int(r["n"]))
+                    )
+                salt_rows = []
+                for blk, cells in per_block.items():
+                    cells.sort()
+                    total = sum(n for _, n in cells)
+                    target = max(1, -(-total // nsplit))  # ceil
+                    acc, salt_i = 0, 0
+                    for c, n in cells:
+                        if acc + n > target and acc > 0 and salt_i < nsplit - 1:
+                            salt_i += 1
+                            acc = 0
+                        salt_rows.append((blk, c, salt_i))
+                        acc += n
+                salt_df = F.broadcast(
+                    spark.createDataFrame(
+                        salt_rows, "block long, ds_cell long, salt long"
+                    )
+                )
+                live = (
+                    live.join(salt_df, ["block", "ds_cell"], "left")
+                    .withColumn(
+                        "block",
+                        F.col("block") * nsplit
+                        + F.coalesce(F.col("salt"), F.lit(0)),
+                    )
+                    .drop("salt")
+                )
+            else:
+                # deferred rounds that lost ds_cell — id-hash fallback
+                salt = F.pmod(F.xxhash64("dataset_id"), F.lit(nsplit))
+                live = live.join(ov_df, "block", "left").withColumn(
+                    "block",
+                    F.when(
+                        F.col("oversized").isNotNull(),
+                        F.col("block") * nsplit + salt,
+                    ).otherwise(F.col("block") * nsplit),
+                ).drop("oversized")
         _phase("skew_probe", t0)
 
         # One kernel invocation per PARTITION, not per block: a hash

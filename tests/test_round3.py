@@ -167,6 +167,34 @@ def test_measure_ivf_recall_logs_lineage(spark, clustered_emb):
 
 
 # ---------------------------------------------------------------------------
+# dup_clusters — pair graph -> connected components (min-label
+# propagation); chains must merge transitively, singletons survive
+# ---------------------------------------------------------------------------
+
+def test_dup_clusters_transitive_chain(spark):
+    from osm_conflate_spark.operators.dedup import dup_clusters, dup_keepers
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 8)], "doc_id long"
+    )
+    # two components: 1-2-3-4 chain (diameter 3 -> needs >1 round) and
+    # 5-6; 7 isolated
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc"]: r["cluster_id"]
+        for r in dup_clusters(docs, pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+    keepers = {
+        r["cluster_id"]: (r["keeper_id"], r["n_members"])
+        for r in dup_keepers(dup_clusters(docs, pairs)).collect()
+    }
+    assert keepers == {1: (1, 4), 5: (5, 2), 7: (7, 1)}
+
+
+# ---------------------------------------------------------------------------
 # config_hash — editing a hook body (same __qualname__) must change the
 # hash (ADVICE round 2: stale --resume checkpoints served for edited
 # lambdas)
@@ -242,3 +270,177 @@ def test_tmpfs_headroom_guard():
     assert not _tmpfs_has_headroom("/nonexistent/path")
     # an absurd requirement must fail even on a big tmpfs
     assert not _tmpfs_has_headroom("/dev/shm", min_free=1 << 60)
+
+
+# ---------------------------------------------------------------------------
+# sessionization: pure kernel, batch twin, and the applyInPandasWithState
+# streaming operator (gap close + event-time timeout flush)
+# ---------------------------------------------------------------------------
+
+def test_merge_session_batch_kernel():
+    from osm_conflate_spark.streaming.sessions import merge_session_batch
+
+    ep = pd.Series([100, 200, 5000, 5100], index=[0, 1, 2, 3])
+    val = pd.Series([1.0, 2.0, 3.0, 4.0], index=[0, 1, 2, 3])
+    closed, cur = merge_session_batch(None, ep, val, gap_seconds=1800)
+    assert closed == [(100, 200, 2, 3.0)]
+    assert cur == (5000, 5100, 2, 7.0)
+    # continuing batch folds into the open session; out-of-order rows
+    # inside the gap move the start back
+    ep2 = pd.Series([4990, 6000])
+    val2 = pd.Series([0.5, 0.25])
+    closed2, cur2 = merge_session_batch(cur, ep2, val2, gap_seconds=1800)
+    assert closed2 == []
+    assert cur2 == (4990, 6000, 4, 7.75)
+
+
+def test_sessionize_batch_matches_pandas_oracle(spark):
+    from osm_conflate_spark.streaming.sessions import sessionize
+
+    rows = [
+        # user 1: two sessions split by a >gap hole
+        (1, 1, "2024-01-01 00:00:00", 1.0),
+        (2, 1, "2024-01-01 00:10:00", 2.0),
+        (3, 1, "2024-01-01 02:00:00", 3.0),
+        # user 2: one session, single event
+        (4, 2, "2024-01-01 05:00:00", 4.0),
+    ]
+    ev = spark.createDataFrame(
+        [(e, u, pd.Timestamp(t).to_pydatetime(), v) for e, u, t, v in rows],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    got = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"], r["n_events"], r["total_value"]
+        )
+        for r in sessionize(ev, gap_seconds=1800).collect()
+    }
+    e = lambda t: int(pd.Timestamp(t).timestamp())
+    assert got == {
+        (1, e("2024-01-01 00:00:00")): (e("2024-01-01 00:10:00"), 2, 3.0),
+        (1, e("2024-01-01 02:00:00")): (e("2024-01-01 02:00:00"), 1, 3.0),
+        (2, e("2024-01-01 05:00:00")): (e("2024-01-01 05:00:00"), 1, 4.0),
+    }
+
+
+def test_sessionize_stream_gap_close_and_timeout(spark, tmp_path):
+    """Two micro-batches: batch 2's far-future event for user 1 closes
+    user 1's first session via the GAP rule; the watermark advance also
+    expires user 2's idle session via the event-time TIMEOUT."""
+    import os
+    import time
+
+    from osm_conflate_spark.streaming.sessions import (
+        SESSION_SCHEMA, sessionize_stream,
+    )
+
+    src = str(tmp_path / "events_stream")
+    os.makedirs(src)
+    b1 = pd.DataFrame(
+        dict(
+            event_id=[1, 2, 3],
+            ts=[
+                pd.Timestamp("2024-01-01 00:00:00"),
+                pd.Timestamp("2024-01-01 00:10:00"),
+                pd.Timestamp("2024-01-01 00:01:00"),
+            ],
+            user_id=[1, 1, 2],
+            event_type=["a", "a", "a"],
+            value=[1.0, 2.0, 9.0],
+            props=["", "", ""],
+        )
+    )
+    b2 = pd.DataFrame(
+        dict(
+            event_id=[10],
+            ts=[pd.Timestamp("2024-01-02 00:00:00")],
+            user_id=[1],
+            event_type=["a"],
+            value=[5.0],
+            props=[""],
+        )
+    )
+    spark.createDataFrame(b1).repartition(1).write.parquet(f"{src}/f1")
+    time.sleep(1.1)  # file-source orders batches by modification time
+    spark.createDataFrame(b2).repartition(1).write.parquet(f"{src}/f2")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=1800, watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"], r["n_events"], r["total_value"]
+        )
+        for r in spark.sql("SELECT * FROM sess_test").collect()
+    }
+    e = lambda t: int(pd.Timestamp(t).timestamp())
+    # user 1 session 1 closed by the gap rule (batch-2 event >gap later)
+    assert got[(1, e("2024-01-01 00:00:00"))] == (
+        e("2024-01-01 00:10:00"), 2, 3.0,
+    )
+    # user 2's idle session flushed by event-time timeout once the
+    # watermark (batch-2 max ts - 1 min) passed end+gap
+    assert got[(2, e("2024-01-01 00:01:00"))] == (
+        e("2024-01-01 00:01:00"), 1, 9.0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# raster -> vector: tile_summary bounds invert the forward tile mapping
+# ---------------------------------------------------------------------------
+
+def test_tile_summary_bounds_contain_points(spark):
+    from osm_conflate_spark.operators.raster import tile_summary
+
+    pts = spark.createDataFrame(
+        [(55.75, 37.61), (55.75, 37.61), (-33.86, 151.2), (0.0, 0.0)],
+        "lat double, lon double",
+    )
+    rows = tile_summary(pts, zoom=12).collect()
+    assert sum(r["n_points"] for r in rows) == 4
+    moscow = [r for r in rows if r["n_points"] == 2]
+    assert len(moscow) == 1
+    m = moscow[0]
+    assert m["west"] <= 37.61 < m["east"]
+    assert m["south"] <= 55.75 < m["north"]
+    assert m["z"] == 12
+    # bounds tile the plane: east edge of (x) == west edge of (x+1)
+    for r in rows:
+        assert r["west"] < r["east"] and r["south"] < r["north"]
+
+
+# ---------------------------------------------------------------------------
+# quality filter: thresholds fire on the right documents
+# ---------------------------------------------------------------------------
+
+def test_quality_filter_parts(spark):
+    from osm_conflate_spark.functions.text import quality_filter_parts
+
+    p = quality_filter_parts("text", "spark")
+    df = spark.createDataFrame(
+        [
+            (1, "a good document with several plain english words here"),
+            (2, "x"),                          # too few words
+            (3, "1 2 3 4 5 6 7 8 9"),          # alpha ratio ~0
+            (4, "a" * 61 + " b c d e"),        # mean word len 13 > 12
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["keep"]
+        for r in df.selectExpr("doc_id", f"{p['keep']} AS keep").collect()
+    }
+    assert got == {1: 1, 2: 0, 3: 0, 4: 0}
