@@ -840,6 +840,45 @@ FROM z GROUP BY user_id, sess
 """
 
 
+# North-rule "point-in-polygon": three large irregular rings over the
+# derived point cloud (lat in [-60,60), lon in [-180,180)).  "overlap"
+# intersects "alpha" — list order is precedence, so the CASE/first-match
+# semantics of region assignment are exercised, not just containment.
+# Rings are closed implicitly (last vertex joins first); no horizontal
+# edges (consecutive equal lats), so the ray-cast division is always
+# defined in numpy AND SQL.
+_REGIONS = [
+    ("alpha", [(5.0, -120.0), (48.0, -95.0), (55.0, -40.0),
+               (20.0, -20.0), (-10.0, -70.0)]),
+    ("beta", [(-55.0, 10.0), (-5.0, 35.0), (12.0, 90.0),
+              (-20.0, 130.0), (-45.0, 60.0)]),
+    ("overlap", [(0.0, -140.0), (58.0, -60.0), (30.0, 20.0),
+                 (-30.0, -50.0)]),
+]
+
+
+def _q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 / north-rule point-in-polygon: first-containing-region
+    assignment via the Arrow-batched vectorized ray-cast UDF
+    (``operators.region.assign_region_col`` — bbox prefilter + even-odd
+    crossing, no per-row Python).  Oracle replays the identical IEEE
+    float64 expression chain in DuckDB via
+    ``sqlgen.assign_region_sql``."""
+    _register(spark, sf_dir)
+    from osm_conflate_spark.operators.region import assign_region_col
+
+    pts = spark.sql(_DS_PTS)
+    return pts.select("k", assign_region_col(_REGIONS).alias("region"))
+
+
+def _point_in_polygon_oracle_duck() -> str:
+    return (
+        f"WITH pts AS ({_DS_PTS}) "
+        f"SELECT k, {sqlgen.assign_region_sql('lat', 'lon', _REGIONS)}"
+        f" AS region FROM pts"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _sql_query(name)
@@ -875,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spatial_knn=_q_spatial_knn,
         tile_polygons=_q_tile_polygons,
         event_sessions=_q_event_sessions,
+        point_in_polygon=_q_point_in_polygon,
     )
     return q
 
@@ -930,6 +970,7 @@ def oracle_sql() -> dict[str, str]:
     out["spatial_knn"] = _spatial_knn_oracle_duck()
     out["tile_polygons"] = _tile_polygons_oracle_duck()
     out["event_sessions"] = _event_sessions_oracle_duck()
+    out["point_in_polygon"] = _point_in_polygon_oracle_duck()
     return out
 
 

@@ -188,3 +188,47 @@ def derived_lon_sql(key: str) -> str:
         f"((((({key}) * 104729 + 7) % 3600000) + 3600000) % 3600000) "
         f"/ {dlit(10000.0)} - {dlit(180.0)}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon (F4 / north-rule spatial op): even-odd ray casting as
+# a portable SQL boolean, operation-for-operation identical to the
+# vectorized numpy twin ``operators.region.point_in_poly_np`` (same IEEE
+# float64 expression order: ``(x2-x1)*(py-y1)/(y2-y1)+x1``), so the
+# engine's Arrow-batched region assigner can be oracled bit-exactly in
+# DuckDB.  Rings MUST have no horizontal edges (consecutive equal
+# latitudes) — the generator asserts this so the division is always
+# defined in both engines (no NULL-vs-inf divergence).
+# ---------------------------------------------------------------------------
+
+def point_in_poly_sql(lat: str, lon: str, ring) -> str:
+    """(lat, lon) inside closed ring [(lat, lon), ...] — XOR fold of
+    per-edge right-ray crossing tests (boolean ``<>`` is XOR in both
+    Spark SQL and DuckDB; the fold is explicitly left-nested because the
+    Postgres-family parser treats chained ``a <> b <> c`` as a syntax
+    error — comparison ops are non-associative)."""
+    terms = []
+    y1, x1 = ring[-1]
+    for y2, x2 in ring:
+        assert y1 != y2, "horizontal edge: ray-cast division undefined"
+        crosses = f"(({dlit(y1)} > ({lat})) <> ({dlit(y2)} > ({lat})))"
+        xint = (
+            f"(({dlit(x2)} - {dlit(x1)}) * (({lat}) - {dlit(y1)})"
+            f" / ({dlit(y2)} - {dlit(y1)}) + {dlit(x1)})"
+        )
+        terms.append(f"({crosses} AND (({lon}) < {xint}))")
+        y1, x1 = y2, x2
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = f"({acc} <> {t})"
+    return acc
+
+
+def assign_region_sql(lat: str, lon: str, regions) -> str:
+    """First-containing-polygon region code (list order is precedence),
+    NULL if none — the SQL twin of ``region.assign_region_col``."""
+    whens = "".join(
+        f" WHEN {point_in_poly_sql(lat, lon, ring)} THEN '{code}'"
+        for code, ring in regions
+    )
+    return f"(CASE{whens} ELSE NULL END)"

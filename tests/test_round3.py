@@ -444,3 +444,55 @@ def test_quality_filter_parts(spark):
         for r in df.selectExpr("doc_id", f"{p['keep']} AS keep").collect()
     }
     assert got == {1: 1, 2: 0, 3: 0, 4: 0}
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon: SQL twin == Arrow UDF path, precedence, edge assert
+# ---------------------------------------------------------------------------
+
+def test_point_in_polygon_sql_twin_matches_udf(spark):
+    """The portable ray-cast SQL (sqlgen.assign_region_sql) and the
+    Arrow-batched numpy assigner (region.assign_region_col) are the same
+    IEEE expression — run BOTH on Spark over a grid of points and
+    require identical assignments, including the first-match precedence
+    on the alpha/overlap intersection."""
+    from osm_conflate_spark.functions import sqlgen
+    from osm_conflate_spark.operators.region import assign_region_col
+
+    regions = [
+        ("alpha", [(5.0, -120.0), (48.0, -95.0), (55.0, -40.0),
+                   (20.0, -20.0), (-10.0, -70.0)]),
+        ("overlap", [(0.0, -140.0), (58.0, -60.0), (30.0, 20.0),
+                     (-30.0, -50.0)]),
+    ]
+    pts = spark.range(0, 2000).selectExpr(
+        "id",
+        "CAST((id % 50) * 2.3 - 58.0 AS DOUBLE) AS lat",
+        "CAST((id % 97) * 3.7 - 179.0 AS DOUBLE) AS lon",
+    )
+    via_sql = {
+        r["id"]: r["region"]
+        for r in pts.selectExpr(
+            "id", f"{sqlgen.assign_region_sql('lat', 'lon', regions)} AS region"
+        ).collect()
+    }
+    via_udf = {
+        r["id"]: r["region"]
+        for r in pts.select(
+            "id", assign_region_col(regions).alias("region")
+        ).collect()
+    }
+    assert via_sql == via_udf
+    got = set(via_udf.values())
+    assert "alpha" in got and "overlap" in got  # both rings non-trivially hit
+
+
+def test_point_in_poly_sql_rejects_horizontal_edges():
+    import pytest as _pytest
+
+    from osm_conflate_spark.functions import sqlgen
+
+    with _pytest.raises(AssertionError):
+        sqlgen.point_in_poly_sql(
+            "lat", "lon", [(0.0, 0.0), (0.0, 10.0), (5.0, 5.0)]
+        )
