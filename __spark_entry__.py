@@ -879,6 +879,68 @@ def _point_in_polygon_oracle_duck() -> str:
     )
 
 
+_PYR_ZMAX, _PYR_ZMIN = 12, 8
+
+
+def _q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical tile rollup (H3/S2-style parent aggregation): one
+    row per occupied tile at every zoom in [8, 12].  Engine plan does
+    the scan-sized shuffle once (base z12 agg) then a tiny ancestor
+    re-agg; the oracle re-bins every level from raw points — proving
+    floor-halving ancestry == direct binning."""
+    _register(spark, sf_dir)
+    from osm_conflate_spark.operators.raster import tile_pyramid
+
+    return tile_pyramid(
+        spark.sql(_DS_PTS), zoom_max=_PYR_ZMAX, zoom_min=_PYR_ZMIN
+    )
+
+
+def _tile_pyramid_oracle_duck() -> str:
+    levels = " UNION ALL ".join(
+        f"SELECT {z} AS z, {sqlgen.tile_parent_sql('x', _PYR_ZMAX - z)} AS x, "
+        f"{sqlgen.tile_parent_sql('y', _PYR_ZMAX - z)} AS y FROM b"
+        for z in range(_PYR_ZMIN, _PYR_ZMAX + 1)
+    )
+    return f"""
+WITH pts AS ({_DS_PTS}),
+b AS (SELECT {sqlgen.tile_x_sql('lon', _PYR_ZMAX)} AS x,
+             {sqlgen.tile_y_sql('lat', _PYR_ZMAX)} AS y FROM pts),
+lv AS ({levels})
+SELECT z, x, y, count(*) AS n_points FROM lv GROUP BY z, x, y
+"""
+
+
+_COVER_ZOOM = 10
+
+
+def _q_polygon_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector -> raster: z10 center-containment tile cover of the
+    'alpha' ring — a distributed enumerate-filter over spark.range (no
+    input table, no shuffle)."""
+    from osm_conflate_spark.operators.raster import polygon_tile_cover
+
+    return polygon_tile_cover(spark, dict(_REGIONS)["alpha"], _COVER_ZOOM)
+
+
+def _polygon_cover_oracle_duck() -> str:
+    from osm_conflate_spark.operators.raster import _ring_tile_bbox
+
+    ring = dict(_REGIONS)["alpha"]
+    x0, x1, y0, y1 = _ring_tile_bbox(ring, _COVER_ZOOM)
+    nx, ny = x1 - x0 + 1, y1 - y0 + 1
+    latc = sqlgen.tile_lat_sql(f"y + {sqlgen.dlit(0.5)}", _COVER_ZOOM)
+    lonc = sqlgen.tile_lon_sql(f"x + {sqlgen.dlit(0.5)}", _COVER_ZOOM)
+    inside = sqlgen.point_in_poly_sql(latc, lonc, ring)
+    return f"""
+WITH cand AS (
+  SELECT {x0} + (i % {nx}) AS x, {y0} + (i // {nx}) AS y
+  FROM (SELECT unnest(generate_series(0, {nx * ny - 1})) AS i)
+)
+SELECT {_COVER_ZOOM} AS z, x, y FROM cand WHERE {inside}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _sql_query(name)
@@ -915,6 +977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tile_polygons=_q_tile_polygons,
         event_sessions=_q_event_sessions,
         point_in_polygon=_q_point_in_polygon,
+        tile_pyramid=_q_tile_pyramid,
+        polygon_cover=_q_polygon_cover,
     )
     return q
 
@@ -971,6 +1035,8 @@ def oracle_sql() -> dict[str, str]:
     out["tile_polygons"] = _tile_polygons_oracle_duck()
     out["event_sessions"] = _event_sessions_oracle_duck()
     out["point_in_polygon"] = _point_in_polygon_oracle_duck()
+    out["tile_pyramid"] = _tile_pyramid_oracle_duck()
+    out["polygon_cover"] = _polygon_cover_oracle_duck()
     return out
 
 

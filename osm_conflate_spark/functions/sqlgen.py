@@ -232,3 +232,11 @@ def assign_region_sql(lat: str, lon: str, regions) -> str:
         for code, ring in regions
     )
     return f"(CASE{whens} ELSE NULL END)"
+
+
+def tile_parent_sql(xy: str, levels_up: int) -> str:
+    """Tile coordinate at ``levels_up`` coarser zooms: floor-halve per
+    level.  Written as floor-of-double-division (not ``>>``) because
+    Spark SQL has no infix shift and tile coords (< 2^26) are exact in
+    float64 in both engines."""
+    return f"CAST(floor(({xy}) / {dlit(float(1 << levels_up))}) AS BIGINT)"

@@ -496,3 +496,68 @@ def test_point_in_poly_sql_rejects_horizontal_edges():
         sqlgen.point_in_poly_sql(
             "lat", "lon", [(0.0, 0.0), (0.0, 10.0), (5.0, 5.0)]
         )
+
+
+# ---------------------------------------------------------------------------
+# tile pyramid: ancestor rollup == direct re-binning at every level
+# ---------------------------------------------------------------------------
+
+def test_tile_pyramid_matches_direct_binning(spark):
+    from osm_conflate_spark.functions import sqlgen
+    from osm_conflate_spark.operators.raster import tile_pyramid
+
+    pts = spark.range(0, 3000).selectExpr(
+        "CAST((id % 113) * 1.07 - 60.0 AS DOUBLE) AS lat",
+        "CAST((id % 331) * 1.03 - 170.0 AS DOUBLE) AS lon",
+    )
+    got = {
+        (r["z"], r["x"], r["y"]): r["n_points"]
+        for r in tile_pyramid(pts, zoom_max=10, zoom_min=7).collect()
+    }
+    for z in range(7, 11):
+        direct = {
+            (z, r["x"], r["y"]): r["n"]
+            for r in pts.selectExpr(
+                f"{sqlgen.tile_x_sql('lon', z)} AS x",
+                f"{sqlgen.tile_y_sql('lat', z)} AS y",
+            ).groupBy("x", "y").agg(_count_alias()).collect()
+        }
+        assert {k: v for k, v in got.items() if k[0] == z} == direct
+
+
+def _count_alias():
+    from pyspark.sql import functions as F
+
+    return F.count(F.lit(1)).alias("n")
+
+
+# ---------------------------------------------------------------------------
+# polygon tile cover: centers in, corners-out excluded, bbox respected
+# ---------------------------------------------------------------------------
+
+def test_polygon_tile_cover_center_rule(spark):
+    from osm_conflate_spark.operators.raster import (
+        _ring_tile_bbox,
+        polygon_tile_cover,
+    )
+    from osm_conflate_spark.operators.region import point_in_poly_np
+
+    import numpy as np
+
+    ring = [(5.0, -120.0), (48.0, -95.0), (55.0, -40.0),
+            (20.0, -20.0), (-10.0, -70.0)]
+    zoom = 6
+    rows = polygon_tile_cover(spark, ring, zoom).collect()
+    assert rows, "cover must be non-empty"
+    x0, x1, y0, y1 = _ring_tile_bbox(ring, zoom)
+    n = 1 << zoom
+    arr = np.asarray(ring, dtype=np.float64)
+    import math
+
+    for r in rows:
+        assert x0 <= r["x"] <= x1 and y0 <= r["y"] <= y1 and r["z"] == zoom
+        # recompute the center containment in numpy — must agree
+        lonc = (r["x"] + 0.5) * 360.0 / n - 180.0
+        t = math.pi * (1.0 - 2.0 * (r["y"] + 0.5) / n)
+        latc = math.degrees(math.atan(math.sinh(t)))
+        assert point_in_poly_np([latc], [lonc], arr)[0]
