@@ -316,27 +316,22 @@ def greedy_match(
 
     matched_parts: list[DataFrame] = []
     live_per_round: list[int] = []
+    # For rounds >= 1 the live count is carried over from the previous
+    # round's (cheap, checkpoint-scan) deferred count instead of
+    # re-executing the anti-join lineage — for continuing rounds it is a
+    # pre-kill upper bound, which is fine for the salt trigger and the
+    # partition-width heuristic; exact counts still appear for round 0
+    # and the driver-finish remainder.
+    n_live_next: int | None = None
     for _round in range(cfg.max_match_rounds):
         t0 = _time.monotonic()
-        n_live = live.count()
+        n_live = live.count() if n_live_next is None else n_live_next
         _phase("round_count", t0)
         if stats is not None:
             live_per_round.append(n_live)
             stats["live_per_round"] = live_per_round
             stats["rounds"] = len(live_per_round)
         if n_live == 0:
-            break
-        if _round >= 1 and n_live <= _DRIVER_FINISH_MAX:
-            t0 = _time.monotonic()
-            rest = live.select("dataset_id", "osm_pk", "dist", "negw").toPandas()
-            done = _local_greedy_finish(rest)
-            if len(done):
-                matched_parts.append(
-                    spark.createDataFrame(
-                        done, "dataset_id string, osm_pk string, dist double"
-                    )
-                )
-            _phase("driver_finish", t0)
             break
 
         # skew guard: split oversized blocks by dataset_id hash (exact —
@@ -486,12 +481,52 @@ def greedy_match(
         matched_parts.append(matched_new)
 
         deferred = result.where(F.col("status") == "D").drop("status")
-        # kill deferred pairs whose endpoints were consumed in OTHER blocks
-        # (in-block kills already happened inside the kernel).  No extra
-        # checkpoint: ``result`` is already materialized and the anti-join
-        # over it is cheap — one fewer job per round (per-job fixed
-        # latency is what caps N-vs-4N scaling efficiency).
+        t0 = _time.monotonic()
+        n_def = deferred.count()  # one scan of the checkpointed result
+        _phase("deferred_count", t0)
+        if n_def == 0:
+            break
+        if n_def <= _DRIVER_FINISH_MAX:
+            # Finish on the driver WITHOUT re-executing join lineage:
+            # deferred rows come straight off the checkpointed kernel
+            # output, and the cross-block kill set (OSM points consumed
+            # in OTHER blocks) is matched_new semi-joined against the
+            # tiny broadcast deferred-osm set — each side one checkpoint
+            # scan, no wide shuffle, no double execution.  (The previous
+            # shape — count + toPandas of the anti-join — executed the
+            # matched x deferred shuffle twice; measured 12.9 s + 19.6 s
+            # of serial driver wall at 3M pages, pure Amdahl loss.)
+            t0 = _time.monotonic()
+            rest = deferred.select(
+                "dataset_id", "osm_pk", "dist", "negw"
+            ).toPandas()
+            killed = matched_new.select("osm_pk").join(
+                F.broadcast(deferred.select("osm_pk").distinct()),
+                "osm_pk", "left_semi",
+            ).toPandas()
+            if len(killed):
+                rest = rest[~rest["osm_pk"].isin(set(killed["osm_pk"]))]
+            if stats is not None:
+                live_per_round.append(int(len(rest)))
+                stats["live_per_round"] = live_per_round
+                stats["rounds"] = len(live_per_round)
+            if len(rest):
+                done = _local_greedy_finish(rest)
+                if len(done):
+                    matched_parts.append(
+                        spark.createDataFrame(
+                            done,
+                            "dataset_id string, osm_pk string, dist double",
+                        )
+                    )
+            _phase("driver_finish", t0)
+            break
+        # continuing distributed round: kill deferred pairs whose OSM
+        # endpoint was consumed in OTHER blocks (in-block kills already
+        # happened inside the kernel).  No extra checkpoint: ``result``
+        # is materialized and the anti-join over it streams from it.
         live = deferred.join(matched_new.select("osm_pk"), "osm_pk", "left_anti")
+        n_live_next = n_def
 
     if not matched_parts:
         return spark.createDataFrame([], _KERNEL_SCHEMA).drop(
