@@ -3,7 +3,7 @@
     python scripts/make_pyfiles_zip.py [out.zip]
     spark-submit --py-files osm_conflate_spark.zip \
         --conf spark.sql.adaptive.enabled=true \
-        -m osm_conflate_spark.cli --pages s3://bucket/pages ...
+        scripts/submit_cli.py --pages <pages-table-or-path> ...
 
 Zips the ``osm_conflate_spark`` package (source only, no caches/tests)
 so every executor's python worker can import it — the cluster-side twin
