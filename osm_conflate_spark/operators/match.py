@@ -34,12 +34,14 @@ Distributed design (exactness proof sketch in comments):
   block when the hotspot fit inside one quadrant; id-hash salting made
   every dense-block OSM point shared and the deferral cascade cost more
   than the straggler it saved).  Only OSM points within max_distance of
-  a 1-D cut line become shared.  Deferred rounds, which no longer carry
-  ds_cell, fall back to the id-hash salt.  Correctness is unaffected
-  either way because splitting only increases the "shared" set, never
-  breaks the all-pairs-of-one-dataset-point invariant.  Granularity
-  floor: one CELL above the cap can't split further — at that density,
-  shrink cfg.cell_m.
+  a 1-D cut line become shared.  ``ds_cell`` rides through the kernel
+  output, so DEFERRED rounds keep the range-cut splitter too; the
+  id-hash salt remains only as a fallback for external callers whose
+  prepared pair table genuinely has no ds_cell.  Correctness is
+  unaffected either way because splitting only increases the "shared"
+  set, never breaks the all-pairs-of-one-dataset-point invariant.
+  Granularity floor: one CELL above the cap can't split further — at
+  that density, shrink cfg.cell_m.
 
 Everything inside the kernel is vectorized numpy (factorize + lexsort +
 ``np.minimum.at`` rounds); there is no per-row Python anywhere.
@@ -66,6 +68,7 @@ _KERNEL_SCHEMA = T.StructType(
         T.StructField("dist", T.DoubleType()),
         T.StructField("negw", T.DoubleType()),  # U2: -weight (0.0 = no hook)
         T.StructField("block", T.LongType()),
+        T.StructField("ds_cell", T.LongType()),  # rides through for skew split
         T.StructField("status", T.StringType()),  # 'M' matched / 'D' deferred
     ]
 )
@@ -156,7 +159,8 @@ def _greedy_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         (ds_state[ds_codes] != USED) & (osm_state[osm_codes] != USED)
     )
     out = pdf.loc[
-        matched | deferred, ["dataset_id", "osm_pk", "dist", "negw", "block"]
+        matched | deferred,
+        ["dataset_id", "osm_pk", "dist", "negw", "block", "ds_cell"],
     ].copy()
     out["status"] = np.where(matched[matched | deferred], "M", "D")
     # per-group lineage row ('L'): n_in/n_out packed in the string cols,
@@ -168,6 +172,7 @@ def _greedy_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             "dist": [(_time.monotonic() - _t0) * 1000.0],
             "negw": [0.0],
             "block": [pdf["block"].iloc[0] if n else -1],
+            "ds_cell": [-1],
             "status": ["L"],
         }
     )
@@ -309,9 +314,14 @@ def greedy_match(
         _phase("prepare_pairs", t0)
     if "negw" not in live.columns:  # U2 weight hook not installed
         live = live.withColumn("negw", F.lit(0.0))
+    # has_ds_cell gates the range-cut splitter: an all -1 sentinel column
+    # (external caller without ds_cell) would make the range cut a no-op,
+    # so such callers keep the id-hash fallback instead
+    has_ds_cell = "ds_cell" in live.columns
+    if not has_ds_cell:
+        live = live.withColumn("ds_cell", F.lit(-1).cast("long"))
     live = live.select(
-        "dataset_id", "osm_pk", "dist", "negw", "block",
-        *(["ds_cell"] if "ds_cell" in live.columns else []),
+        "dataset_id", "osm_pk", "dist", "negw", "block", "ds_cell"
     )
 
     matched_parts: list[DataFrame] = []
@@ -331,6 +341,10 @@ def greedy_match(
             live_per_round.append(n_live)
             stats["live_per_round"] = live_per_round
             stats["rounds"] = len(live_per_round)
+            # rounds >= 1 report the previous round's deferred count
+            # BEFORE the cross-block anti-join kill — an upper bound
+            # (exact counts: round 0 and the driver-finish remainder)
+            stats["live_counts_note"] = "rounds>=1 pre-kill upper bounds"
         if n_live == 0:
             break
 
@@ -355,13 +369,17 @@ def greedy_match(
                          n_pairs=int(r["count"]))
                     for r in ov_rows
                 )
+                stats.setdefault("salt_strategy", []).append(
+                    dict(round=_round,
+                         strategy="range_cut" if has_ds_cell else "id_hash")
+                )
             nsplit = 16
             ov_df = F.broadcast(
                 spark.createDataFrame(
                     [(int(r["block"]),) for r in ov_rows], "block long"
                 ).withColumn("oversized", F.lit(True))
             )
-            if "ds_cell" in live.columns:
+            if has_ds_cell:
                 # WEIGHTED RANGE-CUT split: probe per-(block, ds_cell)
                 # pair counts for the oversized blocks only (a block is
                 # <= block_cells^2 cells, the oversized set is tiny, so
@@ -417,7 +435,7 @@ def greedy_match(
                     .drop("salt")
                 )
             else:
-                # deferred rounds that lost ds_cell — id-hash fallback
+                # external caller without ds_cell — id-hash fallback
                 salt = F.pmod(F.xxhash64("dataset_id"), F.lit(nsplit))
                 live = live.join(ov_df, "block", "left").withColumn(
                     "block",
@@ -441,16 +459,26 @@ def greedy_match(
         key = F.struct(
             F.col("negw"), F.col("dist"), F.col("dataset_id"), F.col("osm_pk")
         )
+        # sub-phased (round-3 verdict: a 42 s wall in the fused
+        # enrich+kernel+ckpt phase could not be attributed): the per-osm
+        # stats agg is materialized on its own — its output is one slim
+        # row per osm_pk (~tens of MB at sf0.1), so the extra checkpoint
+        # is noise — which isolates (a) agg shuffle from (b) join +
+        # repartition + python kernel + checkpoint write; kernel CPU is
+        # separately known exactly from the 'L' lineage rows.
+        t0 = _time.monotonic()
         osm_stats = live.groupBy("osm_pk").agg(
             F.min(key).alias("osm_min"),
             F.countDistinct(part_of_block).alias("nparts"),
-        )
+        ).localCheckpoint(eager=True)
+        _phase("osm_stats_agg", t0)
         enriched = live.join(osm_stats, "osm_pk").select(
             "dataset_id",
             "osm_pk",
             "dist",
             "negw",
             "block",
+            "ds_cell",
             (F.col("nparts") > 1).alias("shared"),
             (key == F.col("osm_min")).alias("is_gmin"),
         )
@@ -466,7 +494,7 @@ def greedy_match(
             _kernel_iter, _KERNEL_SCHEMA
         )
         result = result.localCheckpoint(eager=True)
-        _phase("enrich_kernel_ckpt", t0)
+        _phase("join_kernel_ckpt", t0)
         t0 = _time.monotonic()
         if stats is not None:
             stats.setdefault("groups", []).extend(
@@ -476,7 +504,7 @@ def greedy_match(
             )
         _phase("stats_collect", t0)
         matched_new = result.where(F.col("status") == "M").drop(
-            "status", "block", "negw"
+            "status", "block", "negw", "ds_cell"
         )
         matched_parts.append(matched_new)
 
@@ -530,7 +558,7 @@ def greedy_match(
 
     if not matched_parts:
         return spark.createDataFrame([], _KERNEL_SCHEMA).drop(
-            "status", "block", "negw"
+            "status", "block", "negw", "ds_cell"
         )
     out = matched_parts[0]
     for part in matched_parts[1:]:
