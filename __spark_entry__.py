@@ -897,15 +897,19 @@ def _q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tile_pyramid_oracle_duck() -> str:
+    # INDEPENDENT verification (round-3 advice): the oracle re-bins each
+    # level DIRECTLY from lat/lon (tile_x/y at every z), while the engine
+    # bins once at zoom_max and floor-halves ancestors — so the driver
+    # compare itself proves the floor-halving ancestry commutes with
+    # direct binning (verified equal at sf0.001/0.01/0.1 before adoption;
+    # exact-boundary float64 divergence would show as a hash mismatch).
     levels = " UNION ALL ".join(
-        f"SELECT {z} AS z, {sqlgen.tile_parent_sql('x', _PYR_ZMAX - z)} AS x, "
-        f"{sqlgen.tile_parent_sql('y', _PYR_ZMAX - z)} AS y FROM b"
+        f"SELECT {z} AS z, {sqlgen.tile_x_sql('lon', z)} AS x, "
+        f"{sqlgen.tile_y_sql('lat', z)} AS y FROM pts"
         for z in range(_PYR_ZMIN, _PYR_ZMAX + 1)
     )
     return f"""
 WITH pts AS ({_DS_PTS}),
-b AS (SELECT {sqlgen.tile_x_sql('lon', _PYR_ZMAX)} AS x,
-             {sqlgen.tile_y_sql('lat', _PYR_ZMAX)} AS y FROM pts),
 lv AS ({levels})
 SELECT z, x, y, count(*) AS n_points FROM lv GROUP BY z, x, y
 """

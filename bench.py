@@ -30,6 +30,30 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 BENCH_DIR = os.path.join(REPO, ".bench")
 
 
+def membw_sample(seconds: float = 3.0) -> float:
+    """Single-process read+write stream bandwidth in GB/s (the membw.py
+    probe's 1-proc level).  Logged immediately before every timed run:
+    round 3's record was contaminated by a host whose bandwidth had
+    silently halved, and without a per-run annotation the number could
+    not be normalized or even flagged.  3 s of streaming is enough to
+    see a 2x host degradation; it is NOT a precision instrument."""
+    import numpy as np
+
+    a = np.zeros(200_000_000 // 8, dtype=np.float64)  # 200 MB working set
+    t0 = time.monotonic()
+    n = 0
+    while time.monotonic() - t0 < seconds:
+        a += 1.0
+        n += 1
+    return n * a.nbytes * 2 / (time.monotonic() - t0) / 1e9
+
+
+def _median(xs):
+    s = sorted(xs)
+    m = len(s) // 2
+    return s[m] if len(s) % 2 else 0.5 * (s[m - 1] + s[m])
+
+
 def sf_of(sf_dir: str) -> float:
     name = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -205,6 +229,9 @@ def run_pipeline(spark, pages_path: str, osm_path: str, cfg=None) -> dict:
         pages_per_sec=n_pages / wall,
         match_groups=ms.get("groups", []),
         salt_splits=ms.get("salt_splits", []),
+        stage_walls=stage_walls,
+        match_phases={k: round(v, 2) for k, v in ms.get("phase_wall", {}).items()},
+        kernel_cpu_wall=round(kernel_wall, 2),
     )
 
 
@@ -225,6 +252,8 @@ def main():
         return run_scaling(sf_dir)
     if "--skew" in sys.argv:
         return run_skew(sf_dir, cpus)
+    if "--cover" in sys.argv:
+        return run_cover(cpus)
 
     from osm_conflate_spark.plans.pipeline import build_session
 
@@ -251,26 +280,51 @@ def main():
         ).fetchone()[0]
     pages_path, osm_path = ensure_bench_tables(spark, int(n_pages))
 
-    # warmup (JIT + codegen + arrow init) then timed run(s); scaling mode
-    # takes the best of 2 timed runs — single-box runs have ~20% run-to-
-    # run variance (page cache, GC alignment) that would swamp the ratio
-    run_pipeline(spark, pages_path, osm_path)
-    pipe_res = run_pipeline(spark, pages_path, osm_path)
-    for _ in range(int(os.environ.get("SPARK_GRAFT_TIMED_RUNS", "1")) - 1):
-        again = run_pipeline(spark, pages_path, osm_path)
-        if again["wall_sec"] < pipe_res["wall_sec"]:
-            pipe_res = again
+    # Noise-robust protocol (round-3 verdict #1): 1 warmup (JIT + codegen
+    # + arrow init), then MEDIAN of N timed runs, each annotated with a
+    # 3 s single-proc membw sample taken immediately before it — a
+    # single-shot record on this shared box once carried a 15x anomalous
+    # phase and could neither be normalized nor flagged.  The reported
+    # value is the median run's wall; its per-run walls + bandwidth
+    # samples are kept in the record so a degraded-host run is visibly
+    # degraded rather than silently wrong.
+    n_runs = int(os.environ.get("SPARK_GRAFT_TIMED_RUNS",
+                                "2" if pipeline_only else "5"))
+    run_pipeline(spark, pages_path, osm_path)  # warmup
+    timed = []
+    for _ in range(n_runs):
+        bw = membw_sample()
+        res = run_pipeline(spark, pages_path, osm_path)
+        res["membw_gbps"] = round(bw, 1)
+        timed.append(res)
+    med_wall = _median([r["wall_sec"] for r in timed])
+    pipe_res = min(timed, key=lambda r: abs(r["wall_sec"] - med_wall))
 
     result = {
         "metric": "conflate_e2e_wall_sec",
-        "value": round(pipe_res["wall_sec"], 3),
+        "value": round(med_wall, 3),
         "unit": "sec",
         "sf": sf,
         "queries": {},
-        "pages_per_sec": round(pipe_res["pages_per_sec"], 1),
+        "pages_per_sec": round(pipe_res["n_pages"] / med_wall, 1),
         "n_pages": pipe_res["n_pages"],
         "n_changes": pipe_res["n_changes"],
         "cpus": cpus,
+        "protocol": f"median_of_{n_runs}",
+        "runs": [
+            {
+                "wall_sec": round(r["wall_sec"], 2),
+                "membw_gbps": r["membw_gbps"],
+                "stage_walls": r["stage_walls"],
+                "match_phases": r["match_phases"],
+            }
+            for r in timed
+        ],
+        "min_wall_sec": round(min(r["wall_sec"] for r in timed), 2),
+        "membw_gbps_median": _median([r["membw_gbps"] for r in timed]),
+        "stage_walls_median_run": pipe_res["stage_walls"],
+        "match_phases_median_run": pipe_res["match_phases"],
+        "kernel_cpu_wall_median_run": pipe_res["kernel_cpu_wall"],
     }
     if pipeline_only:
         print(json.dumps(result))
@@ -279,11 +333,21 @@ def main():
 
     import __spark_entry__ as em
 
-    for name in HEADLINE_QUERIES:
-        fn = em.queries()[name]
-        t0 = time.monotonic()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        result["queries"][name] = round(time.monotonic() - t0, 3)
+    q_samples: dict[str, list] = {q: [] for q in HEADLINE_QUERIES}
+    q_passes = int(os.environ.get("SPARK_GRAFT_QUERY_PASSES", "5"))
+    q_bws = []
+    for _ in range(q_passes):
+        q_bws.append(round(membw_sample(), 1))
+        for name in HEADLINE_QUERIES:
+            fn = em.queries()[name]
+            t0 = time.monotonic()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            q_samples[name].append(time.monotonic() - t0)
+    result["queries"] = {
+        q: round(_median(ts), 3) for q, ts in q_samples.items()
+    }
+    result["query_protocol"] = f"median_of_{q_passes}_passes"
+    result["query_membw_gbps"] = q_bws
     print(json.dumps(result))
     spark.stop()
 
@@ -391,6 +455,71 @@ def run_skew(sf_dir: str, cpus: int):
     return summary
 
 
+def run_cover(cpus: int):
+    """Quadtree-vs-flat polygon tile cover at z15 (round-3 verdict #6).
+
+    A 64-vertex concave star makes the per-tile ray-cast expensive
+    enough to expose the asymptotic difference: flat evaluates
+    bbox_tiles x edges crossing tests, the quadtree only classifies
+    O(perimeter) boundary quads per level and ENUMERATES (no ray-casts)
+    the committed interior.  Consumer is count() so output
+    materialization cost is identical on both sides.
+    """
+    import math
+
+    from osm_conflate_spark.operators.raster import polygon_tile_cover
+    from osm_conflate_spark.plans.pipeline import build_session
+
+    spark = build_session(
+        app="bench-cover",
+        master=os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", max(32, cpus))),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    n_lobe = 32
+    ring = []
+    for i in range(2 * n_lobe):
+        r = 8.0 if i % 2 == 0 else 3.0
+        a = math.pi * (i + 0.37) / n_lobe
+        ring.append((40.0 + r * math.sin(a), -100.0 + 1.3 * r * math.cos(a)))
+    zoom = int(os.environ.get("SPARK_GRAFT_COVER_ZOOM", "15"))
+    res = {}
+    for method in ("flat", "quadtree"):
+        polygon_tile_cover(spark, ring, zoom - 4, method=method).count()  # warmup
+        bw = membw_sample()
+        walls, n = [], 0
+        for _ in range(3):
+            t0 = time.monotonic()
+            n = polygon_tile_cover(spark, ring, zoom, method=method).count()
+            walls.append(time.monotonic() - t0)
+        res[method] = {"sec": round(_median(walls), 2), "tiles": n,
+                       "membw_gbps": round(bw, 1)}
+    summary = {
+        "metric": "polygon_cover_quadtree_speedup",
+        "value": round(res["flat"]["sec"] / res["quadtree"]["sec"], 2),
+        "unit": "ratio",
+        "zoom": zoom,
+        "ring_vertices": len(ring),
+        "n_tiles": res["quadtree"]["tiles"],
+        "tiles_equal": res["flat"]["tiles"] == res["quadtree"]["tiles"],
+        "flat": res["flat"],
+        "quadtree": res["quadtree"],
+        "queries": {},
+    }
+    print(json.dumps(summary))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(
+            f"\n| polygon cover z{zoom}, {len(ring)}-vertex concave ring, "
+            f"{summary['n_tiles']} tiles (counts equal: "
+            f"{summary['tiles_equal']}) | flat {res['flat']['sec']}s | "
+            f"quadtree {res['quadtree']['sec']}s | speedup "
+            f"{summary['value']}x (membw {res['flat']['membw_gbps']} GB/s) |\n"
+        )
+    spark.stop()
+    return summary
+
+
 def _have_taskset() -> bool:
     import shutil
 
@@ -429,6 +558,13 @@ def run_scaling(sf_dir: str):
         int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEGS", "2,8").split(",")
     )
     assert len(legs) == 2 and legs[1] == 4 * legs[0], "legs must be N,4N"
+    # SIZE-DERIVED executor heap (round-3 verdict #5): per-core-constant
+    # 5g was right for 6M pages but exit-143'd the 12M leg — heap must
+    # scale with the per-executor working set, ~5g per 6M pages at 4
+    # cores (pair tables + python workers), floor 5g.  Both legs get the
+    # SAME executor size (the gate compares executor COUNTS, not sizes).
+    heap_gb = max(5, -(-int(n) // 1_200_000))
+    cluster_mem_mb = (heap_gb + 1) * 1024
     pin = _have_taskset()
     if not pin:
         print("taskset unavailable — legs run UNPINNED (small leg "
@@ -441,8 +577,8 @@ def run_scaling(sf_dir: str):
             SPARK_GRAFT_SF_DIR=sf_dir,
             SPARK_GRAFT_CPUS=str(cpus),
             SPARK_GRAFT_BENCH_N=n,
-            SPARK_GRAFT_MASTER=f"local-cluster[{n_exec},4,6144]",
-            SPARK_GRAFT_EXEC_MEM="5g",
+            SPARK_GRAFT_MASTER=f"local-cluster[{n_exec},4,{cluster_mem_mb}]",
+            SPARK_GRAFT_EXEC_MEM=f"{heap_gb}g",
             SPARK_DRIVER_MEM="8g",
             SPARK_GRAFT_SHUFFLE="32",
             SPARK_GRAFT_TIMED_RUNS="2",
@@ -458,7 +594,13 @@ def run_scaling(sf_dir: str):
             raise RuntimeError(f"{n_exec}-executor leg produced no result")
         line = lines[-1]
         out[n_exec] = json.loads(line)
-        print(f"local-cluster[{n_exec},4]: {out[n_exec]['value']}s "
+        # ratio estimator: best-of-N per leg — asymmetric host contention
+        # inflates one leg at random and min discards it symmetrically
+        best = out[n_exec].get("min_wall_sec", out[n_exec]["value"])
+        out[n_exec]["pages_per_sec"] = round(
+            out[n_exec]["n_pages"] / best, 1
+        )
+        print(f"local-cluster[{n_exec},4]: best {best}s "
               f"({out[n_exec]['pages_per_sec']} pages/s)", file=sys.stderr)
     lo, hi = legs
     eff = out[hi]["pages_per_sec"] / (4 * out[lo]["pages_per_sec"])

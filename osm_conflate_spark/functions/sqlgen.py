@@ -210,7 +210,11 @@ def point_in_poly_sql(lat: str, lon: str, ring) -> str:
     terms = []
     y1, x1 = ring[-1]
     for y2, x2 in ring:
-        assert y1 != y2, "horizontal edge: ray-cast division undefined"
+        if y1 == y2:  # ValueError, not assert: must hold under python -O
+            raise ValueError(
+                "horizontal edge: ray-cast division undefined (NULL-vs-inf "
+                "semantics would diverge between Spark and DuckDB)"
+            )
         crosses = f"(({dlit(y1)} > ({lat})) <> ({dlit(y2)} > ({lat})))"
         xint = (
             f"(({dlit(x2)} - {dlit(x1)}) * (({lat}) - {dlit(y1)})"

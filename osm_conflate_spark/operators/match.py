@@ -467,9 +467,13 @@ def greedy_match(
         # repartition + python kernel + checkpoint write; kernel CPU is
         # separately known exactly from the 'L' lineage rows.
         t0 = _time.monotonic()
+        # "appears in >1 kernel partitions" == min(part) != max(part) —
+        # NOT countDistinct, whose partial-distinct expansion measured
+        # ~2x the whole agg's cost on the sf0.1 pair table
         osm_stats = live.groupBy("osm_pk").agg(
             F.min(key).alias("osm_min"),
-            F.countDistinct(part_of_block).alias("nparts"),
+            F.min(part_of_block).alias("pmin"),
+            F.max(part_of_block).alias("pmax"),
         ).localCheckpoint(eager=True)
         _phase("osm_stats_agg", t0)
         enriched = live.join(osm_stats, "osm_pk").select(
@@ -479,7 +483,7 @@ def greedy_match(
             "negw",
             "block",
             "ds_cell",
-            (F.col("nparts") > 1).alias("shared"),
+            (F.col("pmin") != F.col("pmax")).alias("shared"),
             (key == F.col("osm_min")).alias("is_gmin"),
         )
 

@@ -2,16 +2,21 @@
 
 Media are opaque ``binary`` columns with typed metadata maps.  The
 Spark-side plumbing — schemas, ``mapInPandas`` batching, partitioning —
-is real and tested; the actual codec decode is STUBBED (no image/audio
-libraries in this environment): ``decoder='fake'`` derives deterministic
-pseudo-features from the raw bytes (numpy, vectorized), ``decoder='real'``
-raises ``NotImplementedError`` at the exact point a PIL/ffmpeg call
-would go.
+is real and tested.  Image decode is REAL for the formats the standard
+library can honestly handle — PNG (zlib + scanline unfiltering), 24-bit
+BMP, binary PPM via :mod:`.imagecodec` — feeding
+:func:`extract_image_features`.  Only genuinely-absent codecs stay
+stubbed: ``decoder='fake'`` derives deterministic pseudo-features from
+raw bytes (numpy, vectorized); ``decoder='real'`` in
+:func:`extract_media_features` still raises ``NotImplementedError`` at
+the exact point an ffmpeg/JPEG call would go (audio/video/JPEG).
 """
 
 from __future__ import annotations
 
+from struct import error as struct_error
 from typing import Iterator
+from zlib import error as zlib_error
 
 import numpy as np
 import pandas as pd
@@ -66,9 +71,67 @@ def extract_media_features(media: DataFrame, decoder: str = "fake") -> DataFrame
         for pdf in batches:
             if decoder == "real":
                 raise NotImplementedError(
-                    "codec decode (PIL/ffmpeg) not available in this environment; "
-                    "use decoder='fake' for the deterministic byte-stat stand-in"
+                    "audio/video/JPEG decode (ffmpeg/libjpeg) not available in "
+                    "this environment; images in PNG/BMP/PPM decode for real "
+                    "via extract_image_features, 'fake' gives deterministic "
+                    "byte-stat stand-ins for everything else"
                 )
             yield _fake_decode_batch(pdf)
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+IMAGE_FEATURE_SCHEMA = (
+    "media_id long, width int, height int, channels int, "
+    "px_mean double, px_std double, err string"
+)
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """REAL image decode + pixel statistics over a media table.
+
+    PNG/BMP/PPM payloads are decoded with the stdlib codecs in
+    :mod:`.imagecodec`; undecodable rows (JPEG, truncated bytes) keep
+    their ``media_id`` with null stats and the error message in ``err``
+    — a 100 TB ingest must skip-and-log bad blobs, not die on row one.
+    Per-image Python is inherent to variable-size binary decode (it is
+    what PIL itself would be); the per-pixel math is numpy and the
+    batching is Arrow via ``mapInPandas``.
+    """
+    from .imagecodec import decode_image
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            width = np.full(n, -1, dtype=np.int64)
+            height = np.full(n, -1, dtype=np.int64)
+            channels = np.full(n, -1, dtype=np.int64)
+            mean = np.full(n, np.nan)
+            std = np.full(n, np.nan)
+            err: list = [None] * n
+            for i, buf in enumerate(pdf["payload"]):
+                try:
+                    img = decode_image(bytes(buf or b""))
+                    height[i], width[i], channels[i] = img.shape
+                    mean[i] = float(img.mean())
+                    std[i] = float(img.std())
+                except (ValueError, NotImplementedError, IndexError,
+                        struct_error, zlib_error) as e:
+                    err[i] = f"{type(e).__name__}: {e}"
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "channels": channels,
+                    "px_mean": mean,
+                    "px_std": std,
+                    "err": err,
+                }
+            )
+            bad = pd.Series(err).notna().to_numpy()
+            for col in ("width", "height", "channels", "px_mean", "px_std"):
+                out.loc[bad, col] = None
+            yield out
+
+    return media.mapInPandas(run, IMAGE_FEATURE_SCHEMA)

@@ -96,7 +96,13 @@ def tile_pyramid(
 
 
 def _ring_tile_bbox(ring, zoom: int) -> tuple[int, int, int, int]:
-    """Tile-coordinate bbox covering the ring's geographic bbox."""
+    """Tile-coordinate bbox covering the ring's geographic bbox.
+
+    Precondition (validated by :func:`polygon_tile_cover`): the ring
+    must not cross the antimeridian — a ring spanning lon +170..-170
+    would bbox to nearly the whole longitude band — and |lat| must stay
+    below the web-mercator limit ~85.05° (``tan`` diverges at the pole).
+    """
     import math as _m
 
     n = 1 << zoom
@@ -114,29 +120,165 @@ def _ring_tile_bbox(ring, zoom: int) -> tuple[int, int, int, int]:
     return tx(min(lons)), tx(max(lons)), ty(max(lats)), ty(min(lats))
 
 
-def polygon_tile_cover(spark, ring, zoom: int) -> DataFrame:
+def polygon_tile_cover(
+    spark, ring, zoom: int, method: str = "quadtree"
+) -> DataFrame:
     """Vector -> raster: the set of z-``zoom`` tiles whose CENTER lies
     inside the polygon ring (center-containment cover — deterministic,
     the standard raster burn rule).  Returns (z, x, y).
 
-    Plan shape: candidate tiles are enumerated from the ring's bbox with
-    ONE ``spark.range`` (id -> (x, y) by div/mod — partitioned, no join,
-    no driver materialization) and filtered by the portable ray-cast
-    expression on the tile-center lat/lon.  The ring rides the plan as
-    literals (a handful of vertices — the broadcast-small side).  At
-    planetary zooms the range is trillions of ids but still a
-    fixed-width distributed enumerate-filter: no shuffle at all.
+    Preconditions (shared with :func:`_ring_tile_bbox`): the ring must
+    not cross the antimeridian and |lat| must stay below the web-
+    mercator limit (~85.05°); both are validated and raise.
+
+    ``method='flat'`` is the original enumerate-filter: one
+    ``spark.range`` over the ring's bbox tile grid (id -> (x, y) by
+    div/mod — no join, no shuffle), ray-cast filter on tile centers.
+    O(bbox_tiles x ring_edges) compute — fine to ~z14, quadratically
+    wasteful for a sparse polygon at planetary zooms.
+
+    ``method='quadtree'`` (default) is the 100x-scale shape: a level-
+    synchronous quadtree descent.  Seed tiles at a coarse zoom; per
+    level, classify each quad against the ring — fully-inside (commit
+    the whole subtree, no further evaluation), fully-outside (prune), or
+    boundary (split into 4 children) — entirely with column expressions
+    (corner ray-casts + edge-bbox overlap; the classification is exact:
+    if no edge's bbox touches the quad the boundary cannot cross it, so
+    corner containment decides the whole quad).  Only boundary quads
+    survive to the next level, so live rows per level are
+    O(perimeter_tiles), total work O(perimeter x zoom + |cover|)
+    instead of O(area): the area cost remains only in EXPANDING
+    committed interior quads to leaf tiles, which is pure output
+    enumeration (chunked ``explode(sequence)``, 6 levels per step, no
+    per-tile ray-casts).  All level plans are narrow (filter + explode)
+    — still no shuffle anywhere.
     """
-    x0, x1, y0, y1 = _ring_tile_bbox(ring, zoom)
-    nx = x1 - x0 + 1
-    ny = y1 - y0 + 1
-    cand = spark.range(0, nx * ny).select(
+    lats = [p[0] for p in ring]
+    lons = [p[1] for p in ring]
+    if max(lons) - min(lons) > 180.0:
+        raise ValueError(
+            "ring spans >180° of longitude — antimeridian-crossing rings "
+            "are not supported (split the ring at ±180 first)"
+        )
+    if max(abs(la) for la in lats) >= 85.05112878:
+        raise ValueError("ring latitude beyond web-mercator limit ±85.05°")
+    if method == "flat":
+        x0, x1, y0, y1 = _ring_tile_bbox(ring, zoom)
+        nx = x1 - x0 + 1
+        ny = y1 - y0 + 1
+        cand = spark.range(0, nx * ny).select(
+            (F.lit(x0) + (F.col("id") % nx)).alias("x"),
+            F.expr(f"{y0} + (id div {nx})").alias("y"),
+        )
+        latc = sqlgen.tile_lat_sql(f"y + {sqlgen.dlit(0.5)}", zoom)
+        lonc = sqlgen.tile_lon_sql(f"x + {sqlgen.dlit(0.5)}", zoom)
+        inside = sqlgen.point_in_poly_sql(latc, lonc, ring)
+        return cand.where(F.expr(inside)).select(
+            F.lit(zoom).alias("z"), "x", "y"
+        )
+    if method != "quadtree":
+        raise ValueError(f"unknown method {method!r}")
+
+    z_seed = min(zoom, 6)
+    x0, x1, y0, y1 = _ring_tile_bbox(ring, z_seed)
+    nx, ny = x1 - x0 + 1, y1 - y0 + 1
+    live = spark.range(0, nx * ny).select(
         (F.lit(x0) + (F.col("id") % nx)).alias("x"),
         F.expr(f"{y0} + (id div {nx})").alias("y"),
     )
+
+    def _classify(z: int):
+        """(n_corners_inside, any_edge_bbox_overlaps_quad) exprs at z."""
+        west = sqlgen.tile_lon_sql("x", z)
+        east = sqlgen.tile_lon_sql("x + 1", z)
+        north = sqlgen.tile_lat_sql("y", z)
+        south = sqlgen.tile_lat_sql("y + 1", z)
+        corners = [
+            (north, west), (north, east), (south, west), (south, east)
+        ]
+        n_in = " + ".join(
+            f"(CASE WHEN {sqlgen.point_in_poly_sql(la, lo, ring)} "
+            "THEN 1 ELSE 0 END)"
+            for la, lo in corners
+        )
+        overlaps = []
+        y1_, x1_ = ring[-1]
+        for y2_, x2_ in ring:
+            e_s, e_n = sorted((y1_, y2_))
+            e_w, e_e = sorted((x1_, x2_))
+            overlaps.append(
+                f"(NOT ({sqlgen.dlit(e_e)} < ({west}) OR "
+                f"{sqlgen.dlit(e_w)} > ({east}) OR "
+                f"{sqlgen.dlit(e_n)} < ({south}) OR "
+                f"{sqlgen.dlit(e_s)} > ({north})))"
+            )
+            y1_, x1_ = y2_, x2_
+        return n_in, "(" + " OR ".join(overlaps) + ")"
+
+    committed = []  # interior quads as (zq, x, y) DataFrames
+    for z in range(z_seed, zoom):
+        n_in, overlap = _classify(z)
+        # level-synchronous: materialize each level's classification
+        # (O(perimeter) rows — quad counts, not tile counts) so plans
+        # stay one level deep; without the cut, ~10 chained levels of
+        # ray-cast expressions fuse into a single whole-stage-codegen
+        # method that overflows the JVM 64KB limit and falls back to
+        # interpreted evaluation
+        tagged = live.select(
+            "x", "y",
+            F.expr(n_in).alias("n_in"), F.expr(overlap).alias("ov"),
+        ).localCheckpoint(eager=True)
+        committed.append(
+            tagged.where("n_in = 4 AND NOT ov")
+            .select(F.lit(z).alias("zq"), "x", "y")
+        )
+        live = (
+            tagged.where("ov OR (n_in > 0 AND n_in < 4)")
+            .select(
+                F.explode(F.array(F.lit(0), F.lit(1))).alias("dx"), "x", "y"
+            )
+            .select(
+                F.explode(F.array(F.lit(0), F.lit(1))).alias("dy"),
+                "dx", "x", "y",
+            )
+            .select(
+                (F.col("x") * 2 + F.col("dx")).alias("x"),
+                (F.col("y") * 2 + F.col("dy")).alias("y"),
+            )
+        )
+
+    # boundary leaves at final zoom: the exact center-containment rule
     latc = sqlgen.tile_lat_sql(f"y + {sqlgen.dlit(0.5)}", zoom)
     lonc = sqlgen.tile_lon_sql(f"x + {sqlgen.dlit(0.5)}", zoom)
-    inside = sqlgen.point_in_poly_sql(latc, lonc, ring)
-    return cand.where(F.expr(inside)).select(
-        F.lit(zoom).alias("z"), "x", "y"
-    )
+    out = live.where(F.expr(sqlgen.point_in_poly_sql(latc, lonc, ring)))
+
+    # expand committed interior quads to leaf tiles, <=6 levels per step
+    # so each sequence() stays <=64 wide
+    for idx, part in enumerate(committed):
+        zq = z_seed + idx
+        rem = zoom - zq
+        quads = part.drop("zq")
+        while rem > 0:
+            step = min(6, rem)
+            side = 1 << step
+            quads = (
+                quads.select(
+                    F.explode(
+                        F.sequence(F.lit(0), F.lit(side - 1))
+                    ).alias("dx"),
+                    "x", "y",
+                )
+                .select(
+                    F.explode(
+                        F.sequence(F.lit(0), F.lit(side - 1))
+                    ).alias("dy"),
+                    "dx", "x", "y",
+                )
+                .select(
+                    (F.col("x") * side + F.col("dx")).alias("x"),
+                    (F.col("y") * side + F.col("dy")).alias("y"),
+                )
+            )
+            rem -= step
+        out = out.unionByName(quads)
+    return out.select(F.lit(zoom).alias("z"), "x", "y")

@@ -82,6 +82,60 @@ def ivf_centroids(
     )
 
 
+def refine_centroids_lloyd(
+    corpus: DataFrame, centroids: DataFrame, rounds: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd refinement of an IVF codebook (round-3 verdict
+    #7): per round, assign every corpus vector to its nearest current
+    centroid (broadcast cross-join + rank-1 window, the SAME cosine
+    ranking rule as :func:`ivf_topk`'s bucket assignment), then replace
+    each centroid with the elementwise mean of its bucket.  Buckets that
+    end up empty keep their previous centroid (codebook size is stable).
+
+    Plan per round: one scan-sized shuffle keyed (cid, pos) for the
+    dimension-wise means (map-side combinable avg) + a tiny per-cid
+    re-agg — linear in corpus x dim, no quadratic term; centroid count
+    stays broadcast-small.  Cosine is scale-invariant so the mean is
+    used un-normalized (spherical k-means up to the radial factor).
+    """
+    cur = centroids
+    for _ in range(rounds):
+        bc = F.broadcast(cur)
+        scored = (
+            corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+            .crossJoin(bc)
+            .select(
+                "vid", "v", "cid",
+                F.round(cosine_expr("v", "cvec"), 6).alias("csim"),
+            )
+        )
+        w = Window.partitionBy("vid").orderBy(
+            F.col("csim").desc(), F.col("cid").asc()
+        )
+        best = (
+            scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1)
+            .select("cid", "v")
+        )
+        means = (
+            best.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+            )
+            .select("cid", F.expr("transform(pm, x -> x.m)").alias("mvec"))
+        )
+        cur = (
+            cur.join(means, "cid", "left")
+            .select("cid", F.coalesce("mvec", "cvec").alias("cvec"))
+            .localCheckpoint(eager=True)  # cut lineage between rounds
+        )
+    return cur
+
+
 def ivf_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 10,
     n_centroids: int = 16, n_probe: int = 4,
@@ -145,13 +199,17 @@ def measure_ivf_recall(
     n_centroids: int = 16, n_probe: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
     hash_sql: str | None = None, lineage: list | None = None,
+    centroids: DataFrame | None = None, stage: str = "ivf_recall",
 ) -> float:
     """Recall of :func:`ivf_topk` against :func:`brute_force_topk` on the
     same inputs, appended to ``lineage`` when given (round-2 verdict #4:
     the approximation quality must be MEASURED, not asserted).
 
     n_in = exact result size, n_out = |exact ∩ ivf|; recall = n_out/n_in
-    packed into the lineage record's counters."""
+    packed into the lineage record's counters.  ``centroids`` overrides
+    the built-in stratified sample (e.g. a Lloyd-refined codebook from
+    :func:`refine_centroids_lloyd`); ``stage`` labels the lineage row so
+    seed-vs-refined uplift shows as two adjacent records."""
     exact = {
         (r["query_id"], r["neighbor_id"])
         for r in brute_force_topk(queries, corpus, k, id_col, vec_col).collect()
@@ -159,13 +217,14 @@ def measure_ivf_recall(
     approx = {
         (r["query_id"], r["neighbor_id"])
         for r in ivf_topk(
-            queries, corpus, k, n_centroids, n_probe, id_col, vec_col, hash_sql
+            queries, corpus, k, n_centroids, n_probe, id_col, vec_col,
+            hash_sql, centroids=centroids,
         ).collect()
     }
     recall = (len(exact & approx) / len(exact)) if exact else 1.0
     if lineage is not None:
         lineage.append(
-            dict(stage="ivf_recall", group_id=n_centroids, n_in=len(exact),
+            dict(stage=stage, group_id=n_centroids, n_in=len(exact),
                  n_out=len(exact & approx), wall_ms=0.0, resumed=False)
         )
     return recall

@@ -9,7 +9,12 @@ Streaming (:func:`sessionize_stream`): a CUSTOM STATEFUL operator via
 closed by the gap rule are emitted as soon as the closing event arrives,
 idle sessions are flushed by an event-time timeout once the watermark
 passes (bounded state: one open session per active user, expired by
-watermark — required at stream scale).
+watermark — required at stream scale).  Late-data rule: out-of-order
+events still above the watermark fold into the open session (in-gap
+merge, start may move back); events at or below the watermark are
+DROPPED inside the state function (Spark does not pre-filter input rows
+for this operator, so the drop is enforced explicitly — otherwise a
+years-late event would corrupt whatever session is currently open).
 
 The per-group merge logic lives in a pure-pandas kernel
 (:func:`merge_session_batch`) so it is unit-testable without a running
@@ -110,11 +115,26 @@ def _make_session_state_fn(gap_seconds: int):
                 state.remove()
         else:
             cur = tuple(state.get) if state.exists else None
+            # Spark does NOT pre-filter below-watermark rows for
+            # applyInPandasWithState (verified empirically on 4.x) — a
+            # years-late event would otherwise fold into whatever
+            # session happens to be open and silently corrupt it.  So
+            # the watermark drop is enforced HERE, explicitly: rows at
+            # or below the current watermark are discarded, matching
+            # the documented append-mode late-data rule.
+            wm_ms = state.getCurrentWatermarkMs()
             for pdf in pdf_iter:
                 ep = (
                     pdf["ts"].astype("datetime64[ns]").astype("int64")
                     // 1_000_000_000
                 )
+                if wm_ms > 0:
+                    keep = ep * 1000 > wm_ms
+                    if not keep.all():
+                        pdf = pdf[keep]
+                        ep = ep[keep]
+                if not len(pdf):
+                    continue
                 closed, cur = merge_session_batch(
                     cur, pd.Series(ep), pdf["value"], gap_seconds
                 )

@@ -492,7 +492,8 @@ def test_point_in_poly_sql_rejects_horizontal_edges():
 
     from osm_conflate_spark.functions import sqlgen
 
-    with _pytest.raises(AssertionError):
+    # ValueError (not assert) so the guard survives python -O
+    with _pytest.raises(ValueError, match="horizontal edge"):
         sqlgen.point_in_poly_sql(
             "lat", "lon", [(0.0, 0.0), (0.0, 10.0), (5.0, 5.0)]
         )
