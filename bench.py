@@ -476,10 +476,10 @@ def run_cover(cpus: int):
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", max(32, cpus))),
     )
     spark.sparkContext.setLogLevel("ERROR")
-    n_lobe = 32
+    n_lobe = int(os.environ.get("SPARK_GRAFT_COVER_VERTS", "512")) // 2
     ring = []
     for i in range(2 * n_lobe):
-        r = 8.0 if i % 2 == 0 else 3.0
+        r = 8.0 if i % 2 == 0 else 6.5
         a = math.pi * (i + 0.37) / n_lobe
         ring.append((40.0 + r * math.sin(a), -100.0 + 1.3 * r * math.cos(a)))
     zoom = int(os.environ.get("SPARK_GRAFT_COVER_ZOOM", "15"))

@@ -222,10 +222,19 @@ def point_in_poly_sql(lat: str, lon: str, ring) -> str:
         )
         terms.append(f"({crosses} AND (({lon}) < {xint}))")
         y1, x1 = y2, x2
-    acc = terms[0]
-    for t in terms[1:]:
-        acc = f"({acc} <> {t})"
-    return acc
+    # balanced XOR tree, not a left-linear fold: XOR is associative so
+    # the value is identical, but a coastline-sized ring (hundreds of
+    # vertices) left-nested blows Spark's expression-depth limit
+    # (SQLSTATE 54001) at depth |ring| while the balanced tree is depth
+    # log2|ring|
+    while len(terms) > 1:
+        nxt = []
+        for i in range(0, len(terms) - 1, 2):
+            nxt.append(f"({terms[i]} <> {terms[i + 1]})")
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    return terms[0]
 
 
 def assign_region_sql(lat: str, lon: str, regions) -> str:

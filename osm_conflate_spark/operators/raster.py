@@ -121,7 +121,7 @@ def _ring_tile_bbox(ring, zoom: int) -> tuple[int, int, int, int]:
 
 
 def polygon_tile_cover(
-    spark, ring, zoom: int, method: str = "quadtree"
+    spark, ring, zoom: int, method: str = "auto"
 ) -> DataFrame:
     """Vector -> raster: the set of z-``zoom`` tiles whose CENTER lies
     inside the polygon ring (center-containment cover — deterministic,
@@ -141,17 +141,19 @@ def polygon_tile_cover(
     synchronous quadtree descent.  Seed tiles at a coarse zoom; per
     level, classify each quad against the ring — fully-inside (commit
     the whole subtree, no further evaluation), fully-outside (prune), or
-    boundary (split into 4 children) — entirely with column expressions
+    boundary (split into 4 children) — in an Arrow-batched numpy kernel
     (corner ray-casts + edge-bbox overlap; the classification is exact:
     if no edge's bbox touches the quad the boundary cannot cross it, so
     corner containment decides the whole quad).  Only boundary quads
     survive to the next level, so live rows per level are
-    O(perimeter_tiles), total work O(perimeter x zoom + |cover|)
-    instead of O(area): the area cost remains only in EXPANDING
-    committed interior quads to leaf tiles, which is pure output
-    enumeration (chunked ``explode(sequence)``, 6 levels per step, no
-    per-tile ray-casts).  All level plans are narrow (filter + explode)
-    — still no shuffle anywhere.
+    O(perimeter_tiles), total work O(perimeter x zoom x edges + |cover|)
+    instead of O(bbox_area x edges): the area cost remains only in
+    EXPANDING committed interior quads to leaf tiles, which is pure
+    output enumeration (chunked ``explode(sequence)``, 6 levels per
+    step, no per-tile ray-casts), and in the exact center-containment
+    filter over BOUNDARY leaves only, which uses the same bit-exact SQL
+    ray-cast as the flat path (and the DuckDB oracle).  All level plans
+    are narrow (kernel + filter + explode) — still no shuffle anywhere.
     """
     lats = [p[0] for p in ring]
     lons = [p[1] for p in ring]
@@ -162,17 +164,41 @@ def polygon_tile_cover(
         )
     if max(abs(la) for la in lats) >= 85.05112878:
         raise ValueError("ring latitude beyond web-mercator limit ±85.05°")
+    if method == "auto":
+        # measured crossover (BENCH/BASELINE.md): flat's one compiled
+        # expression streams ~0.7G edge-tests/s and beats the quadtree's
+        # ~10 level jobs for simple rings at moderate zooms (64-vertex
+        # z15: 5.7s vs 13s), but at coastline vertex counts the single
+        # |ring|-term expression exceeds codegen limits and interprets
+        # (512-vertex z15: 190s vs 106s), and at planetary zooms the
+        # bbox enumeration itself is the bottleneck
+        bx0, bx1, by0, by1 = _ring_tile_bbox(ring, zoom)
+        bbox_tiles = (bx1 - bx0 + 1) * (by1 - by0 + 1)
+        method = (
+            "quadtree"
+            if len(ring) >= 64 or bbox_tiles * len(ring) > 4e9
+            else "flat"
+        )
     if method == "flat":
         x0, x1, y0, y1 = _ring_tile_bbox(ring, zoom)
         nx = x1 - x0 + 1
         ny = y1 - y0 + 1
+        # center lat/lon become COLUMNS before the ray-cast so the
+        # |ring|-term crossing expression references two slim doubles
+        # instead of inlining the mercator inverse per edge
         cand = spark.range(0, nx * ny).select(
             (F.lit(x0) + (F.col("id") % nx)).alias("x"),
             F.expr(f"{y0} + (id div {nx})").alias("y"),
+        ).select(
+            "x", "y",
+            F.expr(
+                sqlgen.tile_lat_sql(f"y + {sqlgen.dlit(0.5)}", zoom)
+            ).alias("latc"),
+            F.expr(
+                sqlgen.tile_lon_sql(f"x + {sqlgen.dlit(0.5)}", zoom)
+            ).alias("lonc"),
         )
-        latc = sqlgen.tile_lat_sql(f"y + {sqlgen.dlit(0.5)}", zoom)
-        lonc = sqlgen.tile_lon_sql(f"x + {sqlgen.dlit(0.5)}", zoom)
-        inside = sqlgen.point_in_poly_sql(latc, lonc, ring)
+        inside = sqlgen.point_in_poly_sql("latc", "lonc", ring)
         return cand.where(F.expr(inside)).select(
             F.lit(zoom).alias("z"), "x", "y"
         )
@@ -187,46 +213,70 @@ def polygon_tile_cover(
         F.expr(f"{y0} + (id div {nx})").alias("y"),
     )
 
-    def _classify(z: int):
-        """(n_corners_inside, any_edge_bbox_overlaps_quad) exprs at z."""
-        west = sqlgen.tile_lon_sql("x", z)
-        east = sqlgen.tile_lon_sql("x + 1", z)
-        north = sqlgen.tile_lat_sql("y", z)
-        south = sqlgen.tile_lat_sql("y + 1", z)
-        corners = [
-            (north, west), (north, east), (south, west), (south, east)
-        ]
-        n_in = " + ".join(
-            f"(CASE WHEN {sqlgen.point_in_poly_sql(la, lo, ring)} "
-            "THEN 1 ELSE 0 END)"
-            for la, lo in corners
+    import numpy as _np
+    import pandas as _pd
+
+    from .region import point_in_poly_np
+
+    ring_np = _np.asarray(ring, dtype=_np.float64)
+    edge_boxes = []
+    y1_, x1_ = ring[-1]
+    for y2_, x2_ in ring:
+        edge_boxes.append(
+            (min(y1_, y2_), max(y1_, y2_), min(x1_, x2_), max(x1_, x2_))
         )
-        overlaps = []
-        y1_, x1_ = ring[-1]
-        for y2_, x2_ in ring:
-            e_s, e_n = sorted((y1_, y2_))
-            e_w, e_e = sorted((x1_, x2_))
-            overlaps.append(
-                f"(NOT ({sqlgen.dlit(e_e)} < ({west}) OR "
-                f"{sqlgen.dlit(e_w)} > ({east}) OR "
-                f"{sqlgen.dlit(e_n)} < ({south}) OR "
-                f"{sqlgen.dlit(e_s)} > ({north})))"
-            )
-            y1_, x1_ = y2_, x2_
-        return n_in, "(" + " OR ".join(overlaps) + ")"
+        y1_, x1_ = y2_, x2_
+
+    def _classify_kernel(z: int):
+        """Arrow-batched numpy quad classifier at zoom ``z``: per quad,
+        (# corners inside ring, any edge bbox overlaps quad).  Numpy —
+        NOT a generated SQL expression — because each level would need
+        its own ~4 x |ring| nested ray-cast expression and janino
+        compilation time (minutes across ~10 levels x 64-vertex rings)
+        swamps the milliseconds of actual work on the O(perimeter)
+        boundary set.  Fp-robustness: a corner test can only disagree
+        with exact geometry when an edge passes near the quad, and any
+        such quad has edge-bbox overlap -> classified boundary anyway,
+        so commits/prunes stay exact; the final leaf filter below uses
+        the bit-exact SQL ray-cast shared with the DuckDB oracle."""
+        n = float(1 << z)
+
+        def run(batches):
+            for pdf in batches:
+                x = pdf["x"].to_numpy(dtype=_np.float64)
+                y = pdf["y"].to_numpy(dtype=_np.float64)
+                west = x / n * 360.0 - 180.0
+                east = (x + 1.0) / n * 360.0 - 180.0
+                north = _np.degrees(
+                    _np.arctan(_np.sinh(_np.pi * (1.0 - 2.0 * y / n)))
+                )
+                south = _np.degrees(
+                    _np.arctan(_np.sinh(_np.pi * (1.0 - 2.0 * (y + 1.0) / n)))
+                )
+                n_in = _np.zeros(len(pdf), dtype=_np.int32)
+                for la, lo in (
+                    (north, west), (north, east), (south, west), (south, east)
+                ):
+                    n_in += point_in_poly_np(la, lo, ring_np)
+                ov = _np.zeros(len(pdf), dtype=bool)
+                for e_s, e_n, e_w, e_e in edge_boxes:
+                    ov |= ~(
+                        (e_e < west) | (e_w > east)
+                        | (e_n < south) | (e_s > north)
+                    )
+                yield _pd.DataFrame(
+                    {"x": pdf["x"], "y": pdf["y"], "n_in": n_in, "ov": ov}
+                )
+
+        return run
 
     committed = []  # interior quads as (zq, x, y) DataFrames
     for z in range(z_seed, zoom):
-        n_in, overlap = _classify(z)
         # level-synchronous: materialize each level's classification
         # (O(perimeter) rows — quad counts, not tile counts) so plans
-        # stay one level deep; without the cut, ~10 chained levels of
-        # ray-cast expressions fuse into a single whole-stage-codegen
-        # method that overflows the JVM 64KB limit and falls back to
-        # interpreted evaluation
-        tagged = live.select(
-            "x", "y",
-            F.expr(n_in).alias("n_in"), F.expr(overlap).alias("ov"),
+        # stay one level deep
+        tagged = live.mapInPandas(
+            _classify_kernel(z), "x long, y long, n_in int, ov boolean"
         ).localCheckpoint(eager=True)
         committed.append(
             tagged.where("n_in = 4 AND NOT ov")
@@ -248,9 +298,18 @@ def polygon_tile_cover(
         )
 
     # boundary leaves at final zoom: the exact center-containment rule
-    latc = sqlgen.tile_lat_sql(f"y + {sqlgen.dlit(0.5)}", zoom)
-    lonc = sqlgen.tile_lon_sql(f"x + {sqlgen.dlit(0.5)}", zoom)
-    out = live.where(F.expr(sqlgen.point_in_poly_sql(latc, lonc, ring)))
+    # (same column-ized shape as the flat path)
+    out = live.select(
+        "x", "y",
+        F.expr(
+            sqlgen.tile_lat_sql(f"y + {sqlgen.dlit(0.5)}", zoom)
+        ).alias("latc"),
+        F.expr(
+            sqlgen.tile_lon_sql(f"x + {sqlgen.dlit(0.5)}", zoom)
+        ).alias("lonc"),
+    ).where(
+        F.expr(sqlgen.point_in_poly_sql("latc", "lonc", ring))
+    ).select("x", "y")
 
     # expand committed interior quads to leaf tiles, <=6 levels per step
     # so each sequence() stays <=64 wide
