@@ -78,6 +78,16 @@ class ConflateConfig:
     #: oversized blocks are cut into 16 ~equal-pair chunks, so post-split
     #: kernels are ~cap/16.
     salt_cap_pairs: int = 1_000_000
+    #: skew-split policy for DEFERRED rounds (round 0 always uses the
+    #: weighted range cut): 'range_cut' re-splits oversized deferred
+    #: blocks spatially, 'id_hash' hashes dataset_id, 'off' leaves
+    #: deferred blocks whole.  Measured on the adversarial-skew fixture
+    #: (BENCH/BASELINE.md round 4): deferred pairs INHERIT the round-0
+    #: split block ids, so they are already distributed — per-round live
+    #: sets were bit-identical across all three policies while 'off' had
+    #: the best deferred-round straggler (2.0 s vs 3.7-4.0 s) and skips
+    #: the probe collect entirely.  Default 'off'.
+    salt_deferred: str = "off"
     #: D2 dup graphs up to this many pairs resolve on the driver
     #: (sequential scan, exact); bigger graphs take the distributed
     #: fixpoint.  0 forces the distributed path (driver-contract query)

@@ -348,11 +348,13 @@ def greedy_match(
         if n_live == 0:
             break
 
-        # skew guard: split oversized blocks by dataset_id hash (exact —
-        # splitting only widens the 'shared' set); only worth checking
-        # when the total live count could even contain an oversized block
+        # skew guard: split oversized blocks — weighted range cut over
+        # ds_cell (id-hash fallback only without ds_cell); exact either
+        # way, splitting only widens the 'shared' set.  Only worth
+        # checking when the total live count could contain one at all
         t0 = _time.monotonic()
-        if n_live > cfg.salt_cap_pairs:
+        salt_allowed = _round == 0 or cfg.salt_deferred != "off"
+        if salt_allowed and n_live > cfg.salt_cap_pairs:
             sizes = live.groupBy("block").count()
             # the oversized set is tiny (blocks above the cap) — collect
             # it once so it can (a) drive the split and (b) be recorded
@@ -363,6 +365,12 @@ def greedy_match(
         else:
             ov_rows = []
         if ov_rows:
+            strategy = (
+                "range_cut"
+                if has_ds_cell
+                and (_round == 0 or cfg.salt_deferred == "range_cut")
+                else "id_hash"
+            )
             if stats is not None:
                 stats.setdefault("salt_splits", []).extend(
                     dict(round=_round, block=int(r["block"]),
@@ -370,8 +378,7 @@ def greedy_match(
                     for r in ov_rows
                 )
                 stats.setdefault("salt_strategy", []).append(
-                    dict(round=_round,
-                         strategy="range_cut" if has_ds_cell else "id_hash")
+                    dict(round=_round, strategy=strategy)
                 )
             nsplit = 16
             ov_df = F.broadcast(
@@ -379,7 +386,7 @@ def greedy_match(
                     [(int(r["block"]),) for r in ov_rows], "block long"
                 ).withColumn("oversized", F.lit(True))
             )
-            if has_ds_cell:
+            if strategy == "range_cut":
                 # WEIGHTED RANGE-CUT split: probe per-(block, ds_cell)
                 # pair counts for the oversized blocks only (a block is
                 # <= block_cells^2 cells, the oversized set is tiny, so

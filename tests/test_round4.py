@@ -60,13 +60,18 @@ def _dense_world(n=400, seed=9):
 
 def test_deferred_rounds_keep_range_cut_splitter(spark, monkeypatch):
     """Force fully-distributed multi-round matching (driver finish
-    disabled) on a dense skewed cluster with a tiny salt cap: the skew
-    guard must fire in a round >= 1 and take the range-cut branch —
-    never the id-hash fallback — and the match set must still equal the
+    disabled) on a dense skewed cluster with a tiny salt cap, with
+    ``salt_deferred='range_cut'``: the skew guard must fire in a round
+    >= 1 and take the range-cut branch (``ds_cell`` rides through the
+    kernel output) — never the id-hash fallback the round-2 skew study
+    measured harmful — and the match set must still equal the
     sequential oracle."""
     monkeypatch.setattr(match_mod, "_DRIVER_FINISH_MAX", 0)
     ds, osm = _dense_world()
-    cfg = ConflateConfig(salt_cap_pairs=1000, duplicate_distance=0.01)
+    cfg = ConflateConfig(
+        salt_cap_pairs=1000, duplicate_distance=0.01,
+        salt_deferred="range_cut",
+    )
     res_o = rm.conflate(ds_to_oracle(ds), osm_to_oracle(osm), cfg)
     pipe = ConflatePipeline(spark, cfg)
     res_s = pipe.run(ds_to_spark(spark, ds), osm_to_spark(spark, osm))
@@ -76,6 +81,25 @@ def test_deferred_rounds_keep_range_cut_splitter(spark, monkeypatch):
     strategies = stats.get("salt_strategy", [])
     late = [s for s in strategies if s["round"] >= 1]
     assert late, "skew guard never fired in a deferred round"
+    assert all(s["strategy"] == "range_cut" for s in strategies), strategies
+
+
+def test_deferred_rounds_default_no_resplit(spark, monkeypatch):
+    """Default policy ``salt_deferred='off'`` (measured in round 4:
+    deferred pairs inherit the round-0 split blocks, re-splitting only
+    adds overhead): deferred rounds never split at all — and the
+    id-hash branch never fires for pipeline-produced pairs."""
+    monkeypatch.setattr(match_mod, "_DRIVER_FINISH_MAX", 0)
+    ds, osm = _dense_world()
+    cfg = ConflateConfig(salt_cap_pairs=1000, duplicate_distance=0.01)
+    res_o = rm.conflate(ds_to_oracle(ds), osm_to_oracle(osm), cfg)
+    pipe = ConflatePipeline(spark, cfg)
+    res_s = pipe.run(ds_to_spark(spark, ds), osm_to_spark(spark, osm))
+    assert matched_set_spark(res_s["matched"]) == matched_set_oracle(res_o)
+    stats = pipe.last_match_stats
+    assert stats["rounds"] >= 2
+    strategies = stats.get("salt_strategy", [])
+    assert all(s["round"] == 0 for s in strategies), strategies
     assert all(s["strategy"] == "range_cut" for s in strategies), strategies
 
 
