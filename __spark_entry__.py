@@ -734,6 +734,52 @@ def _quality_filter_oracle_duck() -> str:
     )
 
 
+def _q_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document bigram repetition (duplicate-bigram
+    and top-bigram fractions) — two map-side-combining aggregations,
+    pure built-in exprs (see operators/repetition.py scale notes)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from osm_conflate_spark.operators.repetition import word_bigram_stats
+
+    return word_bigram_stats(docs)
+
+
+_WORD_REPETITION_DUCK = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+i AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w),
+b AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM i),
+c AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY doc_id, bg)
+SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_n,
+       sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_bigram_n,
+       max(c) / sum(c) AS top_bigram_frac,
+       sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c) AS dup_bigram_frac
+FROM c GROUP BY doc_id
+"""
+
+
+def _q_dup_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact duplicated 8-word shingles per document (the
+    Lee-et-al exact-substring dedup signal): shingles md5-hashed before
+    the wide shuffles, distinct-doc count joined back per occurrence."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from osm_conflate_spark.operators.repetition import dup_shingle_stats
+
+    return dup_shingle_stats(docs, k=8)
+
+
+_DUP_SHINGLES_DUCK = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+           WHERE len(string_split(text, ' ')) >= 8),
+i AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i FROM w),
+s AS (SELECT doc_id, md5(array_to_string(ws[i:i+7], ' ')) AS h FROM i),
+d AS (SELECT h, count(DISTINCT doc_id) AS nd FROM s GROUP BY h)
+SELECT s.doc_id, count(*) AS n_shingles,
+       sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS n_cross_dup,
+       sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) / count(*) AS cross_dup_frac
+FROM s JOIN d USING (h) GROUP BY s.doc_id
+"""
+
+
 def _q_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-nearest OSM points per dataset point (k=3) within max_distance:
     the cell-grid candidate join + a per-dataset-point window — the
@@ -983,6 +1029,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         point_in_polygon=_q_point_in_polygon,
         tile_pyramid=_q_tile_pyramid,
         polygon_cover=_q_polygon_cover,
+        # round-4 widening: corpus repetition / exact-substring signals
+        word_repetition=_q_word_repetition,
+        dup_shingles=_q_dup_shingles,
     )
     return q
 
@@ -1041,6 +1090,8 @@ def oracle_sql() -> dict[str, str]:
     out["point_in_polygon"] = _point_in_polygon_oracle_duck()
     out["tile_pyramid"] = _tile_pyramid_oracle_duck()
     out["polygon_cover"] = _polygon_cover_oracle_duck()
+    out["word_repetition"] = _WORD_REPETITION_DUCK
+    out["dup_shingles"] = _DUP_SHINGLES_DUCK
     return out
 
 

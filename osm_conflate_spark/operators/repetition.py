@@ -1,0 +1,149 @@
+"""Corpus repetition / duplicated-substring signals, Spark-first.
+
+Two operators a web-scale training-data pipeline runs over every
+document (the Gopher "repetition" filters and the Lee-et-al exact
+duplicated-n-gram signal, reconstructed from the published
+descriptions — no reference file exists for these; they extend the
+SURVEY §2 dedup family):
+
+* :func:`word_bigram_stats` — per-document repetition: what fraction
+  of word bigrams are repeats within the document, and how dominant
+  is the single most frequent bigram.  High values flag boilerplate /
+  keyword-stuffed pages that per-document quality scores miss.
+* :func:`dup_shingle_stats` — corpus-level duplicated k-word shingles:
+  for every document, how many of its k-gram shingles also occur in at
+  least one OTHER document.  This is the per-occurrence signal behind
+  exact-substring dedup of training corpora.
+
+Both are pure built-in Column expressions (split / slice / zip_with /
+transform / concat_ws inside whole-stage codegen) — no Python on the
+hot path — and both have DuckDB twins in ``__spark_entry__`` driven
+from the same tokenization (single-space split, matching
+:mod:`..functions.text`).
+
+Scale notes (100 TB):
+
+* ``word_bigram_stats`` is two map-side-combining aggregations keyed
+  by ``(doc_id, bigram)`` then ``doc_id`` — partial aggregation keeps
+  the shuffle at ~distinct-bigrams-per-doc rows; no join.  At corpus
+  scale, key the first aggregation on ``xxhash64(bigram)`` instead of
+  the string to shrink shuffle bytes (kept as the string here so the
+  DuckDB oracle replays bit-identically; md5 is used for shingles
+  below where the hash IS the semantics).
+* ``dup_shingle_stats`` shuffles the shingle table twice on the hash
+  (distinct-doc count, then the count join back).  The join is
+  hash-partitioned on ``h`` on both sides — AQE reuses the exchange —
+  and the per-shingle doc-count table is the only wide intermediate.
+  Skew (one viral boilerplate shingle in millions of docs) lands on
+  single ``h`` keys; AQE skew-join handles the join side, and the
+  aggregation side is a two-level partial agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bigrams_sql(text: str = "text") -> str:
+    """Spark SQL expr: array of word bigrams ("w1 w2") of ``text``.
+
+    ``zip_with`` over two length-(n-1) slices — codegen-friendly, no
+    ``sequence()`` (whose descending-range behavior on n<2 is a trap).
+    Empty/1-word docs yield an empty array.
+    """
+    ws = f"split({text}, ' ')"
+    n1 = f"greatest(size({ws}) - 1, 0)"
+    return (
+        f"zip_with(slice({ws}, 1, {n1}), slice({ws}, 2, {n1}), "
+        f"(a, b) -> concat(a, ' ', b))"
+    )
+
+
+def shingles_sql(text: str = "text", k: int = 8) -> str:
+    """Spark SQL expr: array of k-word shingles joined by spaces.
+
+    Docs shorter than k words yield an empty array (the CASE guard —
+    ``sequence(1, n)`` with n <= 0 would produce a DESCENDING range,
+    not an empty one).
+    """
+    ws = f"split({text}, ' ')"
+    return (
+        f"CASE WHEN size({ws}) >= {k} THEN "
+        f"transform(sequence(1, size({ws}) - {k - 1}), "
+        f"i -> concat_ws(' ', slice({ws}, i, {k}))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+
+
+def word_bigram_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document bigram repetition stats.
+
+    Returns one row per document with >= 1 bigram:
+    ``doc_id, n_bigrams, top_bigram_n, dup_bigram_n,
+    top_bigram_frac, dup_bigram_frac`` where ``dup_bigram_n`` counts
+    every occurrence of a bigram that appears more than once in the
+    document.  Fractions are exact-integer ratios (bit-identical
+    across engines).
+    """
+    b = docs.select(
+        "doc_id", F.explode(F.expr(bigrams_sql(text_col))).alias("bg")
+    )
+    counts = b.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    dup_n = F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.max("c").alias("top_bigram_n"),
+            dup_n.alias("dup_bigram_n"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "top_bigram_n",
+            "dup_bigram_n",
+            (F.col("top_bigram_n") / F.col("n_bigrams")).alias(
+                "top_bigram_frac"
+            ),
+            (F.col("dup_bigram_n") / F.col("n_bigrams")).alias(
+                "dup_bigram_frac"
+            ),
+        )
+    )
+
+
+def dup_shingle_stats(
+    docs: DataFrame, text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Corpus-level duplicated-shingle stats per document.
+
+    A shingle is "cross-duplicated" when its k-gram occurs in >= 2
+    DISTINCT documents.  Returns one row per document with >= 1
+    shingle: ``doc_id, n_shingles, n_cross_dup, cross_dup_frac``.
+    Shingles are md5-hashed before the wide shuffles (the hash is the
+    carrier — raw k-word strings never leave the map side), matching
+    the portable-md5 convention of the MinHash path.
+    """
+    s = docs.select(
+        "doc_id", F.explode(F.expr(shingles_sql(text_col, k))).alias("sh")
+    ).select("doc_id", F.md5(F.col("sh").cast("binary")).alias("h"))
+    docs_per = s.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    j = s.join(docs_per, "h")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias(
+                "n_cross_dup"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_cross_dup",
+            (F.col("n_cross_dup") / F.col("n_shingles")).alias(
+                "cross_dup_frac"
+            ),
+        )
+    )
