@@ -780,6 +780,42 @@ FROM s JOIN d USING (h) GROUP BY s.doc_id
 """
 
 
+def _domain_stats_sql() -> str:
+    """ONE portable SQL text for Spark and DuckDB: deterministic URL per
+    document (the documents table carries no url column — the synthesis
+    is part of the shared query text, so the operator under test is the
+    url->host->registrable-domain extraction + per-domain rollup, the
+    grouping a crawl pipeline does for sampling/reputation/rate limits).
+    Pure regex/concat exprs — whole-stage codegen, two map-side-combining
+    aggregations (domain is a prefix-function of host, so the distinct
+    and the rollup share the same shuffle key space)."""
+    from osm_conflate_spark.functions import web as wfn
+
+    url = (
+        "'https://' || CASE WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE 'www.' END "
+        "|| source || (doc_id % 20) "
+        "|| CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END "
+        "|| '/doc/' || doc_id "
+        "|| CASE WHEN doc_id % 4 = 0 THEN '?ref=rss' ELSE '' END"
+    )
+    return f"""
+WITH u AS (SELECT doc_id, n_chars, {url} AS url FROM documents),
+h AS (SELECT doc_id, n_chars, {wfn.url_host_sql('url')} AS host FROM u),
+d AS (SELECT doc_id, n_chars, host,
+             {wfn.registrable_domain_sql('host')} AS domain FROM h)
+SELECT domain, count(*) AS n_docs, count(DISTINCT host) AS n_hosts,
+       sum(n_chars) AS sum_chars
+FROM d GROUP BY domain
+"""
+
+
+def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain rollup of synthesized urls (see
+    :func:`_domain_stats_sql`)."""
+    _register(spark, sf_dir)
+    return spark.sql(_domain_stats_sql())
+
+
 def _q_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-nearest OSM points per dataset point (k=3) within max_distance:
     the cell-grid candidate join + a per-dataset-point window — the
@@ -1032,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 widening: corpus repetition / exact-substring signals
         word_repetition=_q_word_repetition,
         dup_shingles=_q_dup_shingles,
+        domain_stats=_q_domain_stats,
     )
     return q
 
@@ -1092,6 +1129,7 @@ def oracle_sql() -> dict[str, str]:
     out["polygon_cover"] = _polygon_cover_oracle_duck()
     out["word_repetition"] = _WORD_REPETITION_DUCK
     out["dup_shingles"] = _DUP_SHINGLES_DUCK
+    out["domain_stats"] = _domain_stats_sql()
     return out
 
 
