@@ -30,13 +30,20 @@ Scale notes (100 TB):
   the string to shrink shuffle bytes (kept as the string here so the
   DuckDB oracle replays bit-identically; md5 is used for shingles
   below where the hash IS the semantics).
-* ``dup_shingle_stats`` shuffles the shingle table twice on the hash
-  (distinct-doc count, then the count join back).  The join is
-  hash-partitioned on ``h`` on both sides — AQE reuses the exchange —
-  and the per-shingle doc-count table is the only wide intermediate.
-  Skew (one viral boilerplate shingle in millions of docs) lands on
-  single ``h`` keys; AQE skew-join handles the join side, and the
-  aggregation side is a two-level partial agg.
+* ``dup_shingle_stats`` never traverses the corpus twice: occurrences
+  collapse to one row per ``(doc_id, shingle-hash)`` with a count (a
+  map-side-combining aggregation — the only shuffle of near-raw
+  volume), then a count-over-``h`` window on that collapsed table IS
+  the distinct-doc count (each row is one distinct doc for its ``h``),
+  then a per-doc rollup.  The naive shape — aggregate doc-counts and
+  join them back to the occurrence table — makes Spark recompute the
+  scan+explode subtree for the second consumer (verified in the
+  physical plan: two Scan+Generate branches) and shuffles raw
+  occurrences twice; the window form scans once and only shuffles
+  aggregated rows.  Skew (one viral boilerplate shingle in millions of
+  docs) lands on single ``h`` window partitions — each holds one row
+  per containing DOC (already collapsed), bounded by the doc count,
+  and nothing downstream re-widens.
 """
 
 from __future__ import annotations
@@ -125,16 +132,19 @@ def dup_shingle_stats(
     carrier — raw k-word strings never leave the map side), matching
     the portable-md5 convention of the MinHash path.
     """
+    from pyspark.sql.window import Window
+
     s = docs.select(
         "doc_id", F.explode(F.expr(shingles_sql(text_col, k))).alias("sh")
     ).select("doc_id", F.md5(F.col("sh").cast("binary")).alias("h"))
-    docs_per = s.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
-    j = s.join(docs_per, "h")
+    per = s.groupBy("doc_id", "h").agg(F.count("*").alias("c"))
+    # one row per (doc, shingle) -> count over h = distinct docs with h
+    per = per.withColumn("nd", F.count("*").over(Window.partitionBy("h")))
     return (
-        j.groupBy("doc_id")
+        per.groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_shingles"),
-            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias(
+            F.sum("c").alias("n_shingles"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0)).alias(
                 "n_cross_dup"
             ),
         )
