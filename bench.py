@@ -239,6 +239,8 @@ HEADLINE_QUERIES = [
     "candidate_pairs", "greedy_match", "tiles_z12", "cell_index",
     "dedup_exact", "minhash_pairs", "ngram_jaccard", "ann_topk",
     "token_stats", "tpch_q1", "events_hourly",
+    # round 4: corpus repetition + domain rollup
+    "word_repetition", "dup_shingles", "domain_stats",
 ]
 
 
