@@ -816,6 +816,57 @@ def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_domain_stats_sql())
 
 
+_SAMPLE_N, _PACK_BUDGET = 20, 2048
+
+
+def _q_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sample: top-20 docs per lang by the
+    portable 60-bit md5 key — seedless, rerun- and engine-stable; the
+    rank filter compiles to a map-side WindowGroupLimit (asserted in
+    tests), not a full per-group sort."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from osm_conflate_spark.operators.sampling import deterministic_sample
+
+    return deterministic_sample(docs, "lang", "doc_id", _SAMPLE_N)
+
+
+def _lang_sample_oracle_duck() -> str:
+    from osm_conflate_spark.operators.sampling import sample_key_sql
+
+    key = sample_key_sql("doc_id", "duck")
+    return f"""
+SELECT doc_id, lang, rn FROM (
+  SELECT doc_id, lang, row_number() OVER (
+    PARTITION BY lang ORDER BY {key}, doc_id) AS rn
+  FROM documents) t WHERE rn <= {_SAMPLE_N}
+"""
+
+
+def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: docs per language, in doc_id order, packed
+    into ~2048-token chunks via the window-prefix-sum rule (chunk =
+    prefix-sum-before-row div budget) — the distributed formulation of
+    greedy packing (exact first-fit is sequential)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", tfn.token_count_spark("text").alias("n_tokens")
+    )
+    from osm_conflate_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(docs, "lang", "doc_id", "n_tokens", _PACK_BUDGET)
+
+
+def _pack_chunks_oracle_duck() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, lang, {tfn.token_count_duck('text')} AS n_tokens
+           FROM documents)
+SELECT doc_id, lang, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens)
+                  / {_PACK_BUDGET}) AS BIGINT) AS chunk_id
+FROM t
+"""
+
+
 def _q_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-nearest OSM points per dataset point (k=3) within max_distance:
     the cell-grid candidate join + a per-dataset-point window — the
@@ -1069,6 +1120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         word_repetition=_q_word_repetition,
         dup_shingles=_q_dup_shingles,
         domain_stats=_q_domain_stats,
+        lang_sample=_q_lang_sample,
+        pack_chunks=_q_pack_chunks,
     )
     return q
 
@@ -1130,6 +1183,8 @@ def oracle_sql() -> dict[str, str]:
     out["word_repetition"] = _WORD_REPETITION_DUCK
     out["dup_shingles"] = _DUP_SHINGLES_DUCK
     out["domain_stats"] = _domain_stats_sql()
+    out["lang_sample"] = _lang_sample_oracle_duck()
+    out["pack_chunks"] = _pack_chunks_oracle_duck()
     return out
 
 

@@ -1,0 +1,93 @@
+"""Corpus-assembly operators: deterministic sampling and sequence
+packing — the last mile of a training-data pipeline (after dedup and
+quality filtering, pick a reproducible subset and pack it into
+fixed-token-budget chunks).
+
+* :func:`deterministic_sample` — top-n rows per group ordered by a
+  portable 60-bit md5 hash of the key: a seedless, engine-independent,
+  rerun-stable sample (same rows on every engine and every run — the
+  property a data audit needs; ``rand()`` gives none of it).
+* :func:`pack_sequences` — greedy-by-order packing: within each group,
+  rows ordered by key accumulate into chunks of ~``budget`` tokens
+  (chunk id = prefix-sum-before-row div budget).  This is the
+  window-cumsum formulation every SQL engine can replay, and what a
+  distributed pipeline actually ships: exact first-fit packing is
+  inherently sequential, while prefix-sum packing is one window per
+  group and deterministic.
+
+Scale notes (100 TB):
+
+* ``deterministic_sample`` is a single shuffle on the group key; the
+  ``row_number() <= n`` filter is pushed into the shuffle as a
+  map-side partial top-k by Spark's WindowGroupLimit rewrite (asserted
+  in tests on the physical plan), so a skewed group never materializes
+  more than n·parts rows before the final sort — the classic top-k
+  shape, not a full per-group sort.
+* ``pack_sequences`` is one window (shuffle + in-partition sort) per
+  group.  Prefix sums don't have a group-limit shortcut — at corpus
+  scale the group key should include a shard component (e.g.
+  ``(lang, hash60(doc_id) % n_shards)``) so no single partition holds
+  a whole language; chunk ids are then unique per (group, shard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.sqlgen import hash60_sql
+
+
+def sample_key_sql(id_expr: str, engine: str) -> str:
+    """Portable deterministic ordering key: 60-bit md5 of the id
+    rendered as a string (``|| ''`` forces the cast identically in
+    Spark and DuckDB)."""
+    return hash60_sql(f"({id_expr} || '')", engine)
+
+
+def deterministic_sample(
+    df: DataFrame, group_col: str, id_col: str, n: int
+) -> DataFrame:
+    """Top-``n`` rows per ``group_col``, ordered by the portable hash
+    of ``id_col`` (ties broken by the id itself — total order)."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.expr(sample_key_sql(id_col, "spark")).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n)
+        .select(id_col, group_col, "rn")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Assign each row a ``chunk_id`` within its group: rows in
+    ``order_col`` order accumulate until the running token total
+    crosses ``budget``, then the next chunk starts.
+
+    ``chunk_id = floor(prefix_sum_before_row / budget)`` — a row
+    larger than ``budget`` occupies its chunk alone and pushes the
+    running total forward (documented overflow semantics; exact
+    first-fit is sequential and not worth a distributed fixpoint).
+    Division is by an integer constant in float64 — exact for any
+    prefix sum below 2^53, so engine-identical.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tokens_col).over(w)
+    return df.select(
+        order_col,
+        group_col,
+        F.col(tokens_col).alias("n_tokens"),
+        F.floor((cum - F.col(tokens_col)) / F.lit(budget)).alias("chunk_id"),
+    )
