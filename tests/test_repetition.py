@@ -96,3 +96,27 @@ def test_dup_shingle_stats(spark, docs_df):
     # 3 shingles is cross-duplicated
     assert got[2]["n_shingles"] == 3
     assert got[2]["n_cross_dup"] == 1
+
+
+def test_null_and_empty_text_dropped_both_engines(spark):
+    """NULL text (split -> NULL -> no rows) and empty text (one ''
+    token -> zero bigrams/shingles) must vanish from the output in the
+    Spark operator AND its DuckDB oracle — same doc set both sides."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    assert [r["doc_id"] for r in word_bigram_stats(df).collect()] == [1]
+    assert [r["doc_id"] for r in dup_shingle_stats(df).collect()] == [1]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(1, 'a b c d e f g h i'), (2, NULL), (3, '')) t(doc_id, text)"
+    )
+    oracles = entrymod.oracle_sql()
+    for name in ("word_repetition", "dup_shingles"):
+        assert [r[0] for r in con.sql(oracles[name]).fetchall()] == [1], name
