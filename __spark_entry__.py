@@ -867,6 +867,40 @@ FROM t
 """
 
 
+def _q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-length distribution (exact p50/p90/p99 +
+    mean): the corpus-health rollup.  Spark's exact ``percentile`` is
+    an ObjectHashAggregate over a value->count map — word counts are
+    small-cardinality integers, so partial aggregation combines
+    map-side and the shuffle carries per-(lang, length) counts, not
+    rows; interpolation is bit-identical to DuckDB's ``quantile_cont``
+    (verified: linear on the same sorted doubles).  At 100 TB the
+    drop-in is ``approx_percentile`` (t-digest) when value cardinality
+    stops being bounded."""
+    _register(spark, sf_dir)
+    return spark.sql(
+        f"SELECT lang, count(*) AS n_docs, "
+        f"avg(n_tokens) AS mean_tokens, "
+        f"percentile(n_tokens, 0.5) AS p50, "
+        f"percentile(n_tokens, 0.9) AS p90, "
+        f"percentile(n_tokens, 0.99) AS p99 "
+        f"FROM (SELECT lang, size({tfn.tokens_sql('text')}) AS n_tokens "
+        f"FROM documents) GROUP BY lang"
+    )
+
+
+def _token_percentiles_oracle_duck() -> str:
+    return (
+        f"SELECT lang, count(*) AS n_docs, "
+        f"avg(n_tokens) AS mean_tokens, "
+        f"quantile_cont(n_tokens, 0.5) AS p50, "
+        f"quantile_cont(n_tokens, 0.9) AS p90, "
+        f"quantile_cont(n_tokens, 0.99) AS p99 "
+        f"FROM (SELECT lang, {tfn.token_count_duck('text')} AS n_tokens "
+        f"FROM documents) GROUP BY lang"
+    )
+
+
 def _q_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-nearest OSM points per dataset point (k=3) within max_distance:
     the cell-grid candidate join + a per-dataset-point window — the
@@ -1122,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         domain_stats=_q_domain_stats,
         lang_sample=_q_lang_sample,
         pack_chunks=_q_pack_chunks,
+        token_percentiles=_q_token_percentiles,
     )
     return q
 
@@ -1185,6 +1220,7 @@ def oracle_sql() -> dict[str, str]:
     out["domain_stats"] = _domain_stats_sql()
     out["lang_sample"] = _lang_sample_oracle_duck()
     out["pack_chunks"] = _pack_chunks_oracle_duck()
+    out["token_percentiles"] = _token_percentiles_oracle_duck()
     return out
 
 
