@@ -749,8 +749,8 @@ WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 i AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w),
 b AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM i),
 c AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY doc_id, bg)
-SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_n,
-       sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_bigram_n,
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_bigram_n,
+       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_bigram_n,
        max(c) / sum(c) AS top_bigram_frac,
        sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c) AS dup_bigram_frac
 FROM c GROUP BY doc_id
@@ -774,7 +774,8 @@ i AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i FROM w),
 s AS (SELECT doc_id, md5(array_to_string(ws[i:i+7], ' ')) AS h FROM i),
 d AS (SELECT h, count(DISTINCT doc_id) AS nd FROM s GROUP BY h)
 SELECT s.doc_id, count(*) AS n_shingles,
-       sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS n_cross_dup,
+       CAST(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cross_dup,
        sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) / count(*) AS cross_dup_frac
 FROM s JOIN d USING (h) GROUP BY s.doc_id
 """
@@ -804,7 +805,7 @@ h AS (SELECT doc_id, n_chars, {wfn.url_host_sql('url')} AS host FROM u),
 d AS (SELECT doc_id, n_chars, host,
              {wfn.registrable_domain_sql('host')} AS domain FROM h)
 SELECT domain, count(*) AS n_docs, count(DISTINCT host) AS n_hosts,
-       sum(n_chars) AS sum_chars
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM d GROUP BY domain
 """
 

@@ -329,7 +329,7 @@ def main():
         "kernel_cpu_wall_median_run": pipe_res["kernel_cpu_wall"],
     }
     if pipeline_only:
-        print(json.dumps(result))
+        _emit(result)
         spark.stop()
         return
 
@@ -350,8 +350,42 @@ def main():
     }
     result["query_protocol"] = f"median_of_{q_passes}_passes"
     result["query_membw_gbps"] = q_bws
-    print(json.dumps(result))
+    _emit(result)
     spark.stop()
+
+
+# Keys small enough (and important enough) for the driver's ~2,000-char
+# stdout tail window.  Everything else — per-run stage walls, match
+# sub-phases — is the "detail" record.
+_HEADLINE_KEYS = (
+    "metric", "value", "unit", "sf", "queries", "pages_per_sec",
+    "n_pages", "n_changes", "cpus", "protocol", "min_wall_sec",
+    "membw_gbps_median", "query_protocol", "query_membw_gbps",
+    "detail_file",
+)
+
+
+def _emit(result: dict) -> None:
+    """Round-4 postmortem (`BENCH_r04.json: parsed=null`): the enriched
+    single-line record grew past the driver's ~2,000-char stdout tail
+    window and the FRONT of the JSON — value and all per-query medians —
+    was truncated away.  Emit the full detail as an EARLIER stdout line
+    plus a file under BENCH/, and print a compact headline (< ~1,800
+    chars: value, pages_per_sec, the per-query medians, membw context)
+    as the FINAL line, so the tail window always contains a complete
+    JSON object."""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    detail_file = os.path.join(REPO, "BENCH", "detail_last.json")
+    with open(detail_file, "w") as f:
+        json.dump(result, f, indent=1)
+    print("DETAIL " + json.dumps(result))
+    compact = {k: result[k] for k in _HEADLINE_KEYS if k in result}
+    compact["detail_file"] = os.path.relpath(detail_file, REPO)
+    line = json.dumps(compact)
+    if len(line) > 1800:  # belt-and-braces: drop membw run list first
+        compact.pop("query_membw_gbps", None)
+        line = json.dumps(compact)
+    print(line)
 
 
 def run_skew(sf_dir: str, cpus: int):

@@ -93,6 +93,32 @@ def main():
                 ok = False
                 diff = [(a, b) for a, b in zip(ms, md) if a != b][:5]
                 print(f"FAIL {name}: value mismatch, first diffs: {diff}")
+            # Typed check approximating the driver's value-hash: DuckDB
+            # HUGEINT (from sum(BIGINT)) lands as object/float in pandas
+            # while Spark BIGINT is int64 — string-equal values can still
+            # hash-differ (round-4 word_repetition/dup_shingles/
+            # domain_stats).  Surface dtype families that disagree.
+            try:
+                ddf = res.df()
+                dd = {c.lower(): ddf[c].dtype.kind for c in ddf.columns}
+                sd = {
+                    f.name.lower(): {"long": "i", "int": "i", "short": "i",
+                                     "byte": "i", "double": "f",
+                                     "float": "f", "boolean": "b",
+                                     "string": "O",
+                                     "timestamp": "M", "date": "M",
+                                     }.get(f.dataType.typeName(), "?")
+                    for f in sdf.schema.fields
+                }
+                bad = {c: (sd.get(c), dd.get(c)) for c in dd
+                       if sd.get(c, "?") != "?" and dd[c] != sd[c]
+                       and {dd[c], sd[c]} != {"M"}}
+                if bad:
+                    ok = False
+                    print(f"FAIL {name}: dtype-family mismatch "
+                          f"(spark,duck): {bad}")
+            except Exception as e:  # typed check is best-effort
+                print(f"WARN {name}: dtype check skipped: {e}")
         if ok:
             print(f"OK   {name}: rows={len(srows)} spark={t1 - t0:.1f}s duck={t2 - t1:.1f}s")
         else:
