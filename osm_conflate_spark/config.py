@@ -150,6 +150,14 @@ class ConflateConfig:
                     f"category {cat!r} max_distance ({r}) exceeds cell_m "
                     f"({self.cell_m}) — k-ring-1 would miss candidates"
                 )
+        # strategy selection in greedy_match compares == 'range_cut', so
+        # a typo would silently fall through to the measured-worst
+        # id-hash policy — reject unknown values here instead
+        if self.salt_deferred not in ("off", "range_cut", "id_hash"):
+            raise ValueError(
+                f"salt_deferred must be one of 'off', 'range_cut', "
+                f"'id_hash' (got {self.salt_deferred!r})"
+            )
 
 
 DEFAULT_CONFIG = ConflateConfig()

@@ -327,11 +327,10 @@ def greedy_match(
     matched_parts: list[DataFrame] = []
     live_per_round: list[int] = []
     # For rounds >= 1 the live count is carried over from the previous
-    # round's (cheap, checkpoint-scan) deferred count instead of
-    # re-executing the anti-join lineage — for continuing rounds it is a
-    # pre-kill upper bound, which is fine for the salt trigger and the
-    # partition-width heuristic; exact counts still appear for round 0
-    # and the driver-finish remainder.
+    # round's POST-kill survivor count (one scan of that round's eager
+    # live checkpoint) — exact for every round, and a fully-killed
+    # deferred set breaks out at the bottom of the loop without paying
+    # an empty kernel round (round-3 ADVICE #1).
     n_live_next: int | None = None
     for _round in range(cfg.max_match_rounds):
         t0 = _time.monotonic()
@@ -341,10 +340,7 @@ def greedy_match(
             live_per_round.append(n_live)
             stats["live_per_round"] = live_per_round
             stats["rounds"] = len(live_per_round)
-            # rounds >= 1 report the previous round's deferred count
-            # BEFORE the cross-block anti-join kill — an upper bound
-            # (exact counts: round 0 and the driver-finish remainder)
-            stats["live_counts_note"] = "rounds>=1 pre-kill upper bounds"
+            stats["live_counts_note"] = "exact post-kill counts"
         if n_live == 0:
             break
 
@@ -520,52 +516,46 @@ def greedy_match(
         matched_parts.append(matched_new)
 
         deferred = result.where(F.col("status") == "D").drop("status")
+        # Kill deferred pairs whose OSM endpoint was consumed in OTHER
+        # blocks (in-block kills already happened inside the kernel),
+        # materialize the survivors ONCE, and count them off the
+        # checkpoint.  The eager localCheckpoint means the anti-join
+        # shuffle executes exactly once per round no matter how many
+        # consumers follow (count here; next round's osm-stats agg AND
+        # enrich join; or the driver-finish toPandas) — the round-4
+        # shape lazily re-derived it per consumer and reported PRE-kill
+        # counts, so a fully-killed deferred set cost one empty kernel
+        # round of shuffle jobs (round-3 ADVICE #1).
         t0 = _time.monotonic()
-        n_def = deferred.count()  # one scan of the checkpointed result
-        _phase("deferred_count", t0)
-        if n_def == 0:
+        live = deferred.join(
+            matched_new.select("osm_pk"), "osm_pk", "left_anti"
+        ).localCheckpoint(eager=True)
+        n_live_next = live.count()  # one scan of the fresh checkpoint
+        _phase("live_kill_count", t0)
+        if n_live_next == 0:
             break
-        if n_def <= _DRIVER_FINISH_MAX:
-            # Finish on the driver WITHOUT re-executing join lineage:
-            # deferred rows come straight off the checkpointed kernel
-            # output, and the cross-block kill set (OSM points consumed
-            # in OTHER blocks) is matched_new semi-joined against the
-            # tiny broadcast deferred-osm set — each side one checkpoint
-            # scan, no wide shuffle, no double execution.  (The previous
-            # shape — count + toPandas of the anti-join — executed the
-            # matched x deferred shuffle twice; measured 12.9 s + 19.6 s
-            # of serial driver wall at 3M pages, pure Amdahl loss.)
+        if n_live_next <= _DRIVER_FINISH_MAX:
+            # Finish on the driver: the post-kill survivor set is small
+            # and already checkpointed, so this is one checkpoint scan —
+            # no wide shuffle, no double execution.
             t0 = _time.monotonic()
-            rest = deferred.select(
+            rest = live.select(
                 "dataset_id", "osm_pk", "dist", "negw"
             ).toPandas()
-            killed = matched_new.select("osm_pk").join(
-                F.broadcast(deferred.select("osm_pk").distinct()),
-                "osm_pk", "left_semi",
-            ).toPandas()
-            if len(killed):
-                rest = rest[~rest["osm_pk"].isin(set(killed["osm_pk"]))]
             if stats is not None:
                 live_per_round.append(int(len(rest)))
                 stats["live_per_round"] = live_per_round
                 stats["rounds"] = len(live_per_round)
-            if len(rest):
-                done = _local_greedy_finish(rest)
-                if len(done):
-                    matched_parts.append(
-                        spark.createDataFrame(
-                            done,
-                            "dataset_id string, osm_pk string, dist double",
-                        )
+            done = _local_greedy_finish(rest)
+            if len(done):
+                matched_parts.append(
+                    spark.createDataFrame(
+                        done,
+                        "dataset_id string, osm_pk string, dist double",
                     )
+                )
             _phase("driver_finish", t0)
             break
-        # continuing distributed round: kill deferred pairs whose OSM
-        # endpoint was consumed in OTHER blocks (in-block kills already
-        # happened inside the kernel).  No extra checkpoint: ``result``
-        # is materialized and the anti-join over it streams from it.
-        live = deferred.join(matched_new.select("osm_pk"), "osm_pk", "left_anti")
-        n_live_next = n_def
 
     if not matched_parts:
         return spark.createDataFrame([], _KERNEL_SCHEMA).drop(
