@@ -115,12 +115,6 @@ def _portable(name: str) -> str:
             SELECT d.k AS dataset_key, m.k AS osm_key, round({dist}, 3) AS dist_m
             FROM d JOIN m ON ({dist}) <= 100.0E0
         """,
-        # F1 — tag filter semantics over a constructed tag map: rows whose
-        # 'type' tag contains BRASS and size tag = '15'
-        "tag_filter": """
-            SELECT p_partkey FROM part
-            WHERE p_type LIKE '%BRASS%' AND p_size = 15
-        """,
         # X2 — tag-merge precedence on scalar columns (master key wins,
         # missing key filled, non-master OSM value kept)
         "tag_merge": """
@@ -420,6 +414,43 @@ def _q_tag_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("m", "nation").alias("nation_kept"),  # osm-only kept
         F.element_at("m", "src").alias("src_filled"),      # filled from ds
     )
+
+
+def _q_tag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 exercised through the REAL profile-query operator
+    (:func:`functions.tags.query_filter_col`) over a constructed tag
+    map, with all three clause ops — ``~`` (contains), ``=`` and
+    existence — at non-trivial selectivity (~1/75 of ``part``; the
+    round-4 row compared zero rows at sf0.01)."""
+    _register(spark, sf_dir)
+    from osm_conflate_spark.functions.tags import query_filter_col
+
+    cfg = ConflateConfig(
+        query=(
+            ("type", "~", "AR"),
+            ("brand", "=", "Brand#13"),
+            ("name", "", None),  # existence clause
+        )
+    )
+    df = spark.table("part").select(
+        "p_partkey",
+        F.create_map(
+            F.lit("type"), F.col("p_type"),
+            F.lit("brand"), F.col("p_brand"),
+            F.lit("name"), F.col("p_name"),
+            F.lit("size"), F.col("p_size").cast("string"),
+        ).alias("tags"),
+    )
+    return df.where(query_filter_col("tags", cfg)).select("p_partkey")
+
+
+# F1 oracle: identical clause semantics on the scalar columns the tag
+# map was built from (contains / equality / NOT NULL existence).
+_TAG_FILTER_DUCK = """
+SELECT p_partkey FROM part
+WHERE p_type LIKE '%AR%' AND p_brand = 'Brand#13'
+  AND p_name IS NOT NULL
+"""
 
 
 def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1118,11 +1149,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         name: _sql_query(name)
         for name in [
             "distance", "cell_index", "tiles_z12", "bbox_extent", "ref_dedup",
-            "tag_filter", "action_counts", "dedup_exact", "token_stats",
+            "action_counts", "dedup_exact", "token_stats",
             "events_hourly", "tpch_q1", "top_customers",
         ]
     }
     q.update(
+        tag_filter=_q_tag_filter,
         candidate_pairs=_q_candidate_pairs,
         greedy_match=_q_greedy_match,
         conflate_changes=_q_conflate_changes,
@@ -1167,10 +1199,11 @@ def oracle_sql() -> dict[str, str]:
         name: _portable(name)
         for name in [
             "distance", "cell_index", "tiles_z12", "bbox_extent", "ref_dedup",
-            "tag_filter", "action_counts", "dedup_exact", "tpch_q1",
+            "action_counts", "dedup_exact", "tpch_q1",
             "top_customers", "candidate_pairs", "tag_merge",
         ]
     }
+    out["tag_filter"] = _TAG_FILTER_DUCK
     out["token_stats"] = (
         _portable("token_stats")
         .replace(tfn.word_count_sql("text", "ENGINE"), tfn.word_count_sql("text", "duck"))
