@@ -848,6 +848,61 @@ def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_domain_stats_sql())
 
 
+# Host synthesis shared by the PSL driver row: suffix mix includes
+# com.sg (outside the regex heuristic's built-in 15), the *.ck wildcard
+# and its !www.ck exception, and bare 'ck' (public suffix -> NULL
+# domain, exercising the null-grouping path).
+_PSL_HOST_SQL = (
+    "CASE WHEN doc_id % 7 = 0 THEN 'www.ck' "
+    "WHEN doc_id % 7 = 1 THEN 'x' || (doc_id % 3) || '.zone' "
+    "|| (doc_id % 4) || '.ck' "
+    "WHEN doc_id % 7 = 2 THEN 'ck' "
+    "WHEN doc_id % 7 = 3 THEN 'cdn.' || source || (doc_id % 10) "
+    "|| '.com.sg' "
+    "WHEN doc_id % 7 = 4 THEN source || (doc_id % 10) || '.co.za' "
+    "WHEN doc_id % 7 = 5 THEN 'www.' || source || (doc_id % 10) "
+    "|| '.co.uk' ELSE source || (doc_id % 10) || '.com' END"
+)
+
+
+def _q_domain_stats_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain rollup through the PSL BROADCAST-JOIN path
+    (`functions/web.py:registrable_domain_psl`) — the documented
+    at-scale replacement for the regex heuristic: one broadcast hash
+    join per rule depth, no shuffle before the final rollup, full
+    wildcard/exception semantics.  Oracle is the independent DuckDB
+    list-ops twin."""
+    _register(spark, sf_dir)
+    from osm_conflate_spark.functions.web import registrable_domain_psl
+
+    hosts = spark.sql(
+        f"SELECT doc_id, n_chars, {_PSL_HOST_SQL} AS host FROM documents"
+    )
+    dom = registrable_domain_psl(hosts, "host")
+    return dom.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+def _domain_stats_psl_oracle_duck() -> str:
+    from osm_conflate_spark.functions.web import (
+        registrable_domain_psl_duck_sql,
+    )
+
+    rules_cte, joins, domain = registrable_domain_psl_duck_sql("h.host")
+    return f"""
+WITH {rules_cte},
+h AS (SELECT doc_id, n_chars, {_PSL_HOST_SQL} AS host FROM documents),
+d AS (SELECT h.doc_id, h.n_chars, h.host, {domain} AS domain
+      FROM h {joins})
+SELECT domain, count(*) AS n_docs, count(DISTINCT host) AS n_hosts,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM d GROUP BY domain
+"""
+
+
 _SAMPLE_N, _PACK_BUDGET = 20, 2048
 
 
@@ -1187,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         word_repetition=_q_word_repetition,
         dup_shingles=_q_dup_shingles,
         domain_stats=_q_domain_stats,
+        domain_stats_psl=_q_domain_stats_psl,
         lang_sample=_q_lang_sample,
         pack_chunks=_q_pack_chunks,
         token_percentiles=_q_token_percentiles,
@@ -1252,6 +1308,7 @@ def oracle_sql() -> dict[str, str]:
     out["word_repetition"] = _WORD_REPETITION_DUCK
     out["dup_shingles"] = _DUP_SHINGLES_DUCK
     out["domain_stats"] = _domain_stats_sql()
+    out["domain_stats_psl"] = _domain_stats_psl_oracle_duck()
     out["lang_sample"] = _lang_sample_oracle_duck()
     out["pack_chunks"] = _pack_chunks_oracle_duck()
     out["token_percentiles"] = _token_percentiles_oracle_duck()
