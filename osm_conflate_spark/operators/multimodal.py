@@ -9,7 +9,9 @@ BMP, binary PPM via :mod:`.imagecodec` — feeding
 stubbed: ``decoder='fake'`` derives deterministic pseudo-features from
 raw bytes (numpy, vectorized); ``decoder='real'`` in
 :func:`extract_media_features` still raises ``NotImplementedError`` at
-the exact point an ffmpeg/JPEG call would go (audio/video/JPEG).
+the exact point an ffmpeg/libjpeg call would go (video/JPEG/compressed
+audio).  WAV audio is REAL via the from-scratch RIFF/PCM parser in
+:mod:`.audiocodec` feeding :func:`extract_audio_features`.
 """
 
 from __future__ import annotations
@@ -71,9 +73,10 @@ def extract_media_features(media: DataFrame, decoder: str = "fake") -> DataFrame
         for pdf in batches:
             if decoder == "real":
                 raise NotImplementedError(
-                    "audio/video/JPEG decode (ffmpeg/libjpeg) not available in "
-                    "this environment; images in PNG/BMP/PPM decode for real "
-                    "via extract_image_features, 'fake' gives deterministic "
+                    "video/JPEG/compressed-audio decode (ffmpeg/libjpeg) not "
+                    "available in this environment; PNG/BMP/PPM images decode "
+                    "for real via extract_image_features, WAV audio via "
+                    "extract_audio_features, 'fake' gives deterministic "
                     "byte-stat stand-ins for everything else"
                 )
             yield _fake_decode_batch(pdf)
@@ -135,3 +138,63 @@ def extract_image_features(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, n_channels int, sample_rate int, n_frames long, "
+    "duration_sec double, rms double, peak double, err string"
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode + sample statistics over a media table.
+
+    WAV payloads decode via the from-scratch RIFF parser in
+    :mod:`.audiocodec` (PCM 8/16/24/32 + IEEE float); undecodable rows
+    (MP3, ADPCM, truncated bytes) keep their ``media_id`` with null
+    stats and the error in ``err`` — skip-and-log, same ingest contract
+    as :func:`extract_image_features`.  Per-blob Python is inherent to
+    variable-size binary decode; the per-sample math is numpy and the
+    batching is Arrow via ``mapInPandas``.
+    """
+    from .audiocodec import decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            n_ch = np.full(n, -1, dtype=np.int64)
+            rate = np.full(n, -1, dtype=np.int64)
+            frames = np.full(n, -1, dtype=np.int64)
+            dur = np.full(n, np.nan)
+            rms = np.full(n, np.nan)
+            peak = np.full(n, np.nan)
+            err: list = [None] * n
+            for i, buf in enumerate(pdf["payload"]):
+                try:
+                    samples, sr = decode_wav(bytes(buf or b""))
+                    frames[i], n_ch[i] = samples.shape
+                    rate[i] = sr
+                    dur[i] = samples.shape[0] / sr
+                    rms[i] = float(np.sqrt((samples**2).mean())) if samples.size else 0.0
+                    peak[i] = float(np.abs(samples).max()) if samples.size else 0.0
+                except (ValueError, NotImplementedError, struct_error) as e:
+                    err[i] = f"{type(e).__name__}: {e}"
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_channels": n_ch,
+                    "sample_rate": rate,
+                    "n_frames": frames,
+                    "duration_sec": dur,
+                    "rms": rms,
+                    "peak": peak,
+                    "err": err,
+                }
+            )
+            bad = pd.Series(err).notna().to_numpy()
+            for col in ("n_channels", "sample_rate", "n_frames",
+                        "duration_sec", "rms", "peak"):
+                out.loc[bad, col] = None
+            yield out
+
+    return media.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
