@@ -798,6 +798,16 @@ def _q_dup_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_shingle_stats(docs, k=8)
 
 
+def _q_dup_shingles_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics through the HEAVY-HITTER ESCAPE (broadcast join
+    for shingles in >= 3 docs — 71 such at sf0.01, so the armed path
+    genuinely fires here): the scale plan is the oracled plan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from osm_conflate_spark.operators.repetition import dup_shingle_stats
+
+    return dup_shingle_stats(docs, k=8, hot_threshold=3)
+
+
 _DUP_SHINGLES_DUCK = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
            WHERE len(string_split(text, ' ')) >= 8),
@@ -1241,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 widening: corpus repetition / exact-substring signals
         word_repetition=_q_word_repetition,
         dup_shingles=_q_dup_shingles,
+        dup_shingles_hot=_q_dup_shingles_hot,
         domain_stats=_q_domain_stats,
         domain_stats_psl=_q_domain_stats_psl,
         lang_sample=_q_lang_sample,
@@ -1307,6 +1318,7 @@ def oracle_sql() -> dict[str, str]:
     out["polygon_cover"] = _polygon_cover_oracle_duck()
     out["word_repetition"] = _WORD_REPETITION_DUCK
     out["dup_shingles"] = _DUP_SHINGLES_DUCK
+    out["dup_shingles_hot"] = _DUP_SHINGLES_DUCK
     out["domain_stats"] = _domain_stats_sql()
     out["domain_stats_psl"] = _domain_stats_psl_oracle_duck()
     out["lang_sample"] = _lang_sample_oracle_duck()

@@ -206,3 +206,34 @@ def test_extract_audio_features_spark(spark):
     assert out[3]["sample_rate"] == 22050
     assert out[4]["err"] is not None and out[4]["rms"] is None
     assert out[5]["n_frames"] == 200
+
+
+def test_dup_shingle_hot_escape_matches_window_path(spark):
+    """Skewed fixture: one viral 8-word boilerplate shingle in 60 of 80
+    docs.  The heavy-hitter escape (broadcast join for over-threshold
+    shingles) must fire AND return exactly the window-path result."""
+    from osm_conflate_spark.operators.repetition import dup_shingle_stats
+
+    viral = "all rights reserved click here to subscribe now"
+    rows = []
+    for i in range(80):
+        uniq = " ".join(f"w{i}x{j}" for j in range(10))
+        text = f"{viral} {uniq}" if i < 60 else uniq
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = dup_shingle_stats(docs, k=8)
+    stats: dict = {}
+    esc = dup_shingle_stats(docs, k=8, hot_threshold=20, stats=stats)
+    assert stats["hot_shingles"] >= 1, stats  # the escape fired
+    plan = esc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    canon = lambda df: sorted(
+        (r["doc_id"], r["n_shingles"], r["n_cross_dup"],
+         round(r["cross_dup_frac"], 12))
+        for r in df.collect()
+    )
+    assert canon(esc) == canon(base)
+    # sanity: the 60 viral docs really carry cross-dup shingles
+    dup_docs = [r for r in canon(base) if r[2] > 0]
+    assert len(dup_docs) == 60
