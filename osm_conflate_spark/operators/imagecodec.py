@@ -3,13 +3,15 @@
 The sandbox has no PIL/ffmpeg, but PNG is just zlib + per-scanline
 filters and BMP/PPM are trivial — so the formats the standard library
 can honestly decode are decoded for real (round-3 verdict #3), and only
-genuinely-absent codecs (JPEG, audio, video) remain stubbed behind
+genuinely-absent codecs (JPEG, compressed audio, video) remain stubbed behind
 ``NotImplementedError``.
 
 Scope (deliberately minimal, validated, erroring loudly outside it):
 
 * PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
   4 (gray+alpha), 6 (RGBA); all five scanline filters; no interlace.
+  A ``tRNS`` transparency chunk on palette images is IGNORED (output
+  stays 3-channel RGB); ``audio`` lives in :mod:`.audiocodec`.
 * BMP: uncompressed 24-bit BI_RGB (the classic DIB), bottom-up or
   top-down rows.
 * PPM: binary P6, maxval 255.
@@ -90,6 +92,10 @@ def decode_png(data: bytes) -> np.ndarray:
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos: pos + 4])
         ctype = data[pos + 4: pos + 8]
+        if pos + 12 + length > len(data):
+            # short body or CRC slice would otherwise surface as
+            # struct.error, breaking the documented ValueError contract
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
         body = data[pos + 8: pos + 8 + length]
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != struct.unpack(
             ">I", data[pos + 8 + length: pos + 12 + length]

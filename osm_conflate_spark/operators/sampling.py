@@ -73,8 +73,10 @@ def pack_sequences(
     crosses ``budget``, then the next chunk starts.
 
     ``chunk_id = floor(prefix_sum_before_row / budget)`` — a row
-    larger than ``budget`` occupies its chunk alone and pushes the
-    running total forward (documented overflow semantics; exact
+    larger than ``budget`` starts in whatever chunk its prefix sum
+    lands in (sharing it with any smaller rows that partially filled
+    it), pushes the running total forward, and the chunk ids its bulk
+    spans are simply skipped (documented overflow semantics; exact
     first-fit is sequential and not worth a distributed fixpoint).
     Division is by an integer constant in float64 — exact for any
     prefix sum below 2^53, so engine-identical.

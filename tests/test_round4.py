@@ -262,8 +262,10 @@ def test_sessionize_stream_late_and_out_of_order(spark, tmp_path):
       folds into the open session (``merge_session_batch``'s in-gap
       fold, sessions.py) — session keeps its original start, count
       grows;
-    * an event BELOW the watermark is dropped by Spark before the state
-      function (documented append-mode semantics) — the closed session
+    * an event BELOW the watermark is dropped by the EXPLICIT guard
+      inside the state function (sessions.py folds nothing below the
+      watermark; Spark does NOT pre-filter applyInPandasWithState
+      input, so the manual drop is load-bearing) — the closed session
       equals the batch twin run on the surviving events and differs
       from the batch twin on all events by exactly the dropped row.
     """
