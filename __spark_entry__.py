@@ -913,6 +913,87 @@ FROM d GROUP BY domain
 """
 
 
+# --- PII scrub + decontamination driver rows (round 5) ---------------------
+
+# Deterministic PII-bearing text synthesized from doc_id so the scrub
+# operator has real matches at every sf (documents.text itself carries
+# none); part of the shared query semantics, like _domain_stats_sql.
+_PII_TEXT_SQL = (
+    "text || ' contact user' || doc_id || '@mail' || (doc_id % 7) "
+    "|| '.example.com'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' from 10.' || (doc_id % 256) "
+    "|| '.0.' || (doc_id % 200) ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' call +1 (555) 010-' "
+    "|| (1000 + doc_id % 9000) ELSE '' END"
+)
+
+
+def _pii_scrub_sql(engine: str) -> str:
+    """Engine-dialect SQL (Spark literals escape backslashes, DuckDB
+    needs the 'g' flag — scrub.py handles both): staged email -> ip ->
+    phone redaction with per-stage match counts and length audit."""
+    from osm_conflate_spark.functions import scrub
+
+    t0 = _PII_TEXT_SQL
+    e = scrub.redact_sql("t0", "email", engine)
+    i = scrub.redact_sql("t1", "ip", engine)
+    p = scrub.redact_sql("t2", "phone", engine)
+    return f"""
+WITH t AS (SELECT doc_id, {t0} AS t0 FROM documents),
+s1 AS (SELECT doc_id, t0, {e} AS t1 FROM t),
+s2 AS (SELECT doc_id, t0, t1, {i} AS t2 FROM s1),
+s3 AS (SELECT doc_id, t0, t1, t2, {p} AS t3 FROM s2)
+SELECT doc_id,
+  CAST({scrub.pii_count_sql("t0", "email", engine)} AS BIGINT) AS n_emails,
+  CAST({scrub.pii_count_sql("t1", "ip", engine)} AS BIGINT) AS n_ips,
+  CAST({scrub.pii_count_sql("t2", "phone", engine)} AS BIGINT) AS n_phones,
+  CAST(length(t0) AS BIGINT) AS len_raw,
+  CAST(length(t3) AS BIGINT) AS len_scrubbed
+FROM s3
+"""
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit over the documents table: three codegen
+    regexp_replace stages (email -> ip -> phone), zero Python — the
+    scrub a pipeline runs before packing text into training chunks."""
+    _register(spark, sf_dir)
+    return spark.sql(_pii_scrub_sql("spark"))
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-doc 8-gram overlap against the
+    deterministic eval subset (doc_id % 97 == 0), benchmark shingle
+    set broadcast so the corpus scan never shuffles for the probe
+    (operators/decontaminate.py)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from osm_conflate_spark.operators.decontaminate import (
+        contamination_stats,
+    )
+
+    return contamination_stats(
+        docs, docs.where(F.col("doc_id") % 97 == 0), k=8
+    )
+
+
+_CONTAMINATION_DUCK = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+           WHERE len(string_split(text, ' ')) >= 8),
+i AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i FROM w),
+s AS (SELECT DISTINCT doc_id, md5(array_to_string(ws[i:i+7], ' ')) AS h
+      FROM i),
+b AS (SELECT DISTINCT h FROM s WHERE doc_id % 97 = 0),
+j AS (SELECT s.doc_id, s.h, b.h IS NOT NULL AS hit
+      FROM s LEFT JOIN b USING (h))
+SELECT doc_id, count(*) AS n_shingles,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated,
+       sum(CASE WHEN hit THEN 1 ELSE 0 END) / count(*)
+           AS contamination_frac
+FROM j GROUP BY doc_id
+"""
+
+
 _SAMPLE_N, _PACK_BUDGET = 20, 2048
 
 
@@ -1254,6 +1335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dup_shingles_hot=_q_dup_shingles_hot,
         domain_stats=_q_domain_stats,
         domain_stats_psl=_q_domain_stats_psl,
+        pii_scrub=_q_pii_scrub,
+        contamination=_q_contamination,
         lang_sample=_q_lang_sample,
         pack_chunks=_q_pack_chunks,
         token_percentiles=_q_token_percentiles,
@@ -1321,6 +1404,8 @@ def oracle_sql() -> dict[str, str]:
     out["dup_shingles_hot"] = _DUP_SHINGLES_DUCK
     out["domain_stats"] = _domain_stats_sql()
     out["domain_stats_psl"] = _domain_stats_psl_oracle_duck()
+    out["pii_scrub"] = _pii_scrub_sql("duck")
+    out["contamination"] = _CONTAMINATION_DUCK
     out["lang_sample"] = _lang_sample_oracle_duck()
     out["pack_chunks"] = _pack_chunks_oracle_duck()
     out["token_percentiles"] = _token_percentiles_oracle_duck()

@@ -237,3 +237,82 @@ def test_dup_shingle_hot_escape_matches_window_path(spark):
     # sanity: the 60 viral docs really carry cross-dup shingles
     dup_docs = [r for r in canon(base) if r[2] > 0]
     assert len(dup_docs) == 60
+
+
+# --------------------------------------------------------------------------
+# PII scrub + benchmark decontamination (round-5 widening)
+
+PII_SAMPLES = [
+    "reach me at bob.smith+x@mail.example.co.uk or call +1 (555) 010-1234",
+    "server 10.0.0.1 and 999.12.0.255 logged in 2024 room 42",
+    "plain text, year 1999 and short id 123456 survive",
+    "two mails a@b.io c@d.org and phone 555-123-4567",
+    "ip-like 1.2.3.4.5 and trailing dot 8.8.8.8.",
+]
+
+
+def test_scrub_pii_spark_duck_identical(spark):
+    """The dialect pair (Spark escaped literals vs DuckDB 'g' flag)
+    must scrub byte-identically, and the counts must match a hand
+    count."""
+    import duckdb
+
+    from osm_conflate_spark.functions import scrub
+
+    con = duckdb.connect()
+    duck = [
+        con.execute(
+            f"SELECT {scrub.scrub_pii_sql('t', 'duck')}, "
+            f"{scrub.pii_count_sql('t', 'email', 'duck')} "
+            f"FROM (SELECT ? AS t)",
+            [t],
+        ).fetchone()
+        for t in PII_SAMPLES
+    ]
+    sdf = spark.createDataFrame([(t,) for t in PII_SAMPLES], "t string")
+    sp = (
+        sdf.selectExpr(
+            f"{scrub.scrub_pii_sql('t', 'spark')} AS s",
+            f"{scrub.pii_count_sql('t', 'email', 'spark')} AS c",
+        )
+        .collect()
+    )
+    for (dt, dc), r, raw in zip(duck, sp, PII_SAMPLES):
+        assert r["s"] == dt, raw
+        assert r["c"] == dc, raw
+    scrubbed = [r["s"] for r in sp]
+    assert scrubbed[0] == "reach me at <EMAIL> or call <PHONE>"
+    assert scrubbed[1] == "server <IP> and <IP> logged in 2024 room 42"
+    assert scrubbed[2] == PII_SAMPLES[2]  # nothing redacted
+    assert scrubbed[3] == "two mails <EMAIL> <EMAIL> and phone <PHONE>"
+
+
+def test_contamination_stats(spark):
+    """Known-overlap fixture: doc 0 is the benchmark; doc 1 copies half
+    of it; doc 2 is clean.  Fractions must be exact and the benchmark
+    side must enter as a broadcast join."""
+    from osm_conflate_spark.operators.decontaminate import (
+        contamination_stats,
+    )
+
+    bench_words = " ".join(f"b{i}" for i in range(16))  # 9 shingles (k=8)
+    half = " ".join(f"b{i}" for i in range(8))  # first 8 words
+    clean = " ".join(f"c{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [(1, half + " " + clean), (2, clean)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(0, bench_words)], "doc_id long, text string")
+    out = contamination_stats(docs, bench, k=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 1: 25 shingles total (8+16 words -> 17 shingles)... compute:
+    n1_words = 8 + 16
+    assert rows[1]["n_shingles"] == n1_words - 7
+    # contaminated shingles of doc 1: windows fully inside the copied
+    # 8-word prefix that also appear in the 16-word benchmark = only
+    # the first window (b0..b7)
+    assert rows[1]["n_contaminated"] == 1
+    assert abs(rows[1]["contamination_frac"] - 1 / (n1_words - 7)) < 1e-12
+    assert rows[2]["n_contaminated"] == 0
