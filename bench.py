@@ -241,6 +241,9 @@ HEADLINE_QUERIES = [
     "token_stats", "tpch_q1", "events_hourly",
     # round 4: corpus repetition + domain rollup
     "word_repetition", "dup_shingles", "domain_stats",
+    # round 5: PSL join path, shingle heavy-hitter escape, PII scrub,
+    # decontamination
+    "domain_stats_psl", "dup_shingles_hot", "pii_scrub", "contamination",
 ]
 
 
