@@ -94,25 +94,35 @@ def main():
                 diff = [(a, b) for a, b in zip(ms, md) if a != b][:5]
                 print(f"FAIL {name}: value mismatch, first diffs: {diff}")
             # Typed check approximating the driver's value-hash: DuckDB
-            # HUGEINT (from sum(BIGINT)) lands as object/float in pandas
-            # while Spark BIGINT is int64 — string-equal values can still
-            # hash-differ (round-4 word_repetition/dup_shingles/
-            # domain_stats).  Surface dtype families that disagree.
+            # HUGEINT (from sum(BIGINT)) string-matches Spark BIGINT but
+            # hash-differs in the driver's typed compare (the round-4
+            # word_repetition/dup_shingles/domain_stats failures).  Use
+            # the relation's TYPE METADATA (res.types — no re-execution;
+            # res.df() would re-run multi-minute oracles) and flag
+            # integer-family disagreements.
             try:
-                ddf = res.df()
-                dd = {c.lower(): ddf[c].dtype.kind for c in ddf.columns}
+                fam = lambda t: (
+                    "i" if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT")
+                    else "f" if t in ("FLOAT", "DOUBLE")
+                    else "b" if t == "BOOLEAN"
+                    else "M" if t.startswith(("TIMESTAMP", "DATE"))
+                    else "HUGEINT" if t == "HUGEINT"
+                    else "?"
+                )
+                dd = {c.lower(): fam(str(t).upper())
+                      for c, t in zip(res.columns, res.types)}
                 sd = {
-                    f.name.lower(): {"long": "i", "int": "i", "short": "i",
-                                     "byte": "i", "double": "f",
-                                     "float": "f", "boolean": "b",
-                                     "string": "O",
+                    f.name.lower(): {"long": "i", "integer": "i",
+                                     "short": "i", "byte": "i",
+                                     "double": "f", "float": "f",
+                                     "boolean": "b",
                                      "timestamp": "M", "date": "M",
                                      }.get(f.dataType.typeName(), "?")
                     for f in sdf.schema.fields
                 }
                 bad = {c: (sd.get(c), dd.get(c)) for c in dd
-                       if sd.get(c, "?") != "?" and dd[c] != sd[c]
-                       and {dd[c], sd[c]} != {"M"}}
+                       if sd.get(c, "?") != "?" and dd[c] != "?"
+                       and dd[c] != sd[c]}
                 if bad:
                     ok = False
                     print(f"FAIL {name}: dtype-family mismatch "
