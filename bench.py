@@ -363,8 +363,8 @@ def main():
 _HEADLINE_KEYS = (
     "metric", "value", "unit", "sf", "queries", "pages_per_sec",
     "n_pages", "n_changes", "cpus", "protocol", "min_wall_sec",
-    "membw_gbps_median", "query_protocol", "query_membw_gbps",
-    "detail_file",
+    "membw_gbps_median", "runs_wall", "runs_membw",
+    "query_protocol", "query_membw_gbps", "detail_file",
 )
 
 
@@ -382,6 +382,13 @@ def _emit(result: dict) -> None:
     with open(detail_file, "w") as f:
         json.dump(result, f, indent=1)
     print("DETAIL " + json.dumps(result))
+    # per-run wall + bandwidth ride in the headline so a contended-host
+    # record is self-diagnosing without the detail file
+    result = dict(
+        result,
+        runs_wall=[r["wall_sec"] for r in result.get("runs", [])],
+        runs_membw=[r["membw_gbps"] for r in result.get("runs", [])],
+    )
     compact = {k: result[k] for k in _HEADLINE_KEYS if k in result}
     compact["detail_file"] = os.path.relpath(detail_file, REPO)
     line = json.dumps(compact)
