@@ -1290,6 +1290,130 @@ SELECT {_COVER_ZOOM} AS z, x, y FROM cand WHERE {inside}
 """
 
 
+_ASOF_TOL_US = 3_600_000_000  # 1 hour
+
+
+def _asof_inputs(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    ev = spark.table("events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event"), "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event"),
+        "user_id",
+        "ts",
+        F.col("value").alias("c_value"),
+    )
+    return purchases, clicks
+
+
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest prior click per purchase, per user — the
+    union-sort-carry formulation (one shuffle, zero joins; see
+    operators/temporal.py).  The DuckDB oracle uses the native
+    ``ASOF LEFT JOIN`` operator — a genuinely different algorithm
+    (DuckDB plans a specialized sort-probe join), so agreement
+    cross-validates semantics, not just arithmetic."""
+    from osm_conflate_spark.operators.temporal import asof_join
+
+    _register(spark, sf_dir)
+    purchases, clicks = _asof_inputs(spark)
+    res = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["c_event", "ts", "c_value"],
+        tiebreak="c_event",
+    )
+    return res.select(
+        "p_event",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("p_ts_us"),
+        "c_event",
+        "c_value",
+        (F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(F.col("ts_r").cast("timestamp"))).alias("lag_us"),
+    )
+
+
+_ASOF_DUCK = """
+SELECT p.event_id AS p_event, p.user_id, epoch_us(p.ts) AS p_ts_us,
+       c.event_id AS c_event, c.value AS c_value,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def _q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of with a staleness bound: clicks older than 1 h are nulled
+    (same single-window plan; the matched ts rides a second
+    ``last(ignorenulls)`` fused into the same Window operator)."""
+    from osm_conflate_spark.operators.temporal import asof_join
+
+    _register(spark, sf_dir)
+    purchases, clicks = _asof_inputs(spark)
+    res = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["c_event", "ts", "c_value"],
+        tolerance_us=_ASOF_TOL_US,
+        tiebreak="c_event",
+    )
+    return res.select(
+        "p_event",
+        "user_id",
+        "c_event",
+        (F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(F.col("ts_r").cast("timestamp"))).alias("lag_us"),
+    )
+
+
+_ASOF_TOL_DUCK = f"""
+SELECT p_event, user_id,
+       CASE WHEN lag_us <= {_ASOF_TOL_US} THEN c_event END AS c_event,
+       CASE WHEN lag_us <= {_ASOF_TOL_US} THEN lag_us END AS lag_us
+FROM ({_ASOF_DUCK})
+"""
+
+
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS interval (range) join: every click within 10 min after
+    any signup.  Spark's own planner can only spell this as a
+    BroadcastNestedLoopJoin (O(n*m) single-task comparisons); the
+    banded operator turns it into a shuffled equi-join on the time
+    band (plan-asserted in tests).  DuckDB replays it as a plain
+    inequality join (its IEJoin path) — independent algorithm."""
+    from osm_conflate_spark.operators.temporal import interval_join
+
+    _register(spark, sf_dir)
+    ev = spark.table("events")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_event"), "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event"), "ts"
+    )
+    out = interval_join(
+        signups, clicks, left_ts="ts", right_ts="ts", lo_us=0, hi_us=600_000_000
+    )
+    return out.select("s_event", "c_event", "gap_us")
+
+
+_INTERVAL_DUCK = """
+SELECT s.event_id AS s_event, c.event_id AS c_event,
+       epoch_us(c.ts) - epoch_us(s.ts) AS gap_us
+FROM events s, events c
+WHERE s.event_type = 'signup' AND c.event_type = 'click'
+  AND epoch_us(c.ts) - epoch_us(s.ts) > 0
+  AND epoch_us(c.ts) - epoch_us(s.ts) <= 600000000
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _sql_query(name)
@@ -1340,6 +1464,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lang_sample=_q_lang_sample,
         pack_chunks=_q_pack_chunks,
         token_percentiles=_q_token_percentiles,
+        # round-5 widening: temporal joins Spark lacks as built-ins
+        asof_join=_q_asof_join,
+        asof_tolerance=_q_asof_tolerance,
+        interval_join=_q_interval_join,
     )
     return q
 
@@ -1406,6 +1534,9 @@ def oracle_sql() -> dict[str, str]:
     out["domain_stats_psl"] = _domain_stats_psl_oracle_duck()
     out["pii_scrub"] = _pii_scrub_sql("duck")
     out["contamination"] = _CONTAMINATION_DUCK
+    out["asof_join"] = _ASOF_DUCK
+    out["asof_tolerance"] = _ASOF_TOL_DUCK
+    out["interval_join"] = _INTERVAL_DUCK
     out["lang_sample"] = _lang_sample_oracle_duck()
     out["pack_chunks"] = _pack_chunks_oracle_duck()
     out["token_percentiles"] = _token_percentiles_oracle_duck()

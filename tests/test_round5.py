@@ -316,3 +316,149 @@ def test_contamination_stats(spark):
     assert rows[1]["n_contaminated"] == 1
     assert abs(rows[1]["contamination_frac"] - 1 / (n1_words - 7)) < 1e-12
     assert rows[2]["n_contaminated"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (as-of / banded interval) — operators/temporal.py
+
+
+def _mk_events(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def t(mins, us=0):
+        return base + dt.timedelta(minutes=mins, microseconds=us)
+
+    left = spark.createDataFrame(
+        [
+            (100, 1, t(10)),   # has two prior rights (t5 wins over t1)
+            (101, 1, t(4)),    # one prior right (t1)
+            (102, 1, t(5)),    # EQUAL ts to a right row -> inclusive match
+            (103, 2, t(3)),    # no prior right for user 2 (right at t7)
+            (104, 3, t(1)),    # user with no right rows at all
+        ],
+        "l_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (200, 1, t(1), 1.0),
+            (201, 1, t(5), 2.0),
+            (202, 1, t(5), 3.0),  # tie at t5: greater r_id (202) must win
+            (203, 2, t(7), 4.0),
+        ],
+        "r_id long, user_id long, ts timestamp, v double",
+    )
+    return left, right
+
+
+def test_asof_join_semantics(spark):
+    from osm_conflate_spark.operators.temporal import asof_join
+
+    left, right = _mk_events(spark)
+    out = asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["r_id", "v"],
+    )
+    got = {r["l_id"]: (r["r_id"], r["v"]) for r in out.collect()}
+    assert got[100] == (202, 3.0)       # latest prior, tie -> max r_id
+    assert got[101] == (200, 1.0)
+    assert got[102] == (202, 3.0)       # inclusive at equal ts
+    assert got[103] == (None, None)     # right exists but only later
+    assert got[104] == (None, None)     # no right rows for key
+    assert out.count() == left.count()  # left-outer: one row per left row
+
+
+def test_asof_join_plan_has_no_join(spark):
+    """The union-window formulation must plan ONE exchange (the window
+    partitioning) and zero join operators."""
+    from osm_conflate_spark.operators.temporal import asof_join
+
+    left, right = _mk_events(spark)
+    out = asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["r_id", "v"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_asof_tolerance_nulls_stale(spark):
+    from osm_conflate_spark.operators.temporal import asof_join
+
+    left, right = _mk_events(spark)
+    out = asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["r_id", "v"], tolerance_us=3 * 60_000_000,
+    )
+    got = {r["l_id"]: r["r_id"] for r in out.collect()}
+    assert got[101] == 200   # 3 min lag == tolerance -> kept (inclusive)
+    assert got[100] is None  # latest match is 5 min stale -> nulled
+    assert got[102] == 202   # 0 lag
+
+
+def test_interval_join_semantics_and_plan(spark):
+    from osm_conflate_spark.operators.temporal import interval_join
+
+    left, right = _mk_events(spark)
+    # keyless: rights in (0, 4] minutes after each left
+    out = interval_join(
+        left.select("l_id", "ts"), right.select("r_id", "ts"),
+        left_ts="ts", right_ts="ts", lo_us=0, hi_us=4 * 60_000_000,
+    )
+    pairs = {(r["l_id"], r["r_id"]) for r in out.collect()}
+    # brute-force expectation
+    import itertools
+    lrows = left.select("l_id", "ts").collect()
+    rrows = right.select("r_id", "ts").collect()
+    want = set()
+    for lr, rr in itertools.product(lrows, rrows):
+        gap = (rr["ts"] - lr["ts"]).total_seconds() * 1e6
+        if 0 < gap <= 4 * 60_000_000:
+            want.add((lr["l_id"], rr["r_id"]))
+    assert pairs == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_band_boundary_exact(spark):
+    """Rows exactly on band edges must not be lost to float misfloor:
+    gap == hi lands in the last band, gap just over hi is excluded."""
+    import datetime as dt
+    from osm_conflate_spark.operators.temporal import interval_join
+
+    base = dt.datetime(2024, 6, 1)
+    hi = 600_000_000
+    left = spark.createDataFrame([(1, base)], "l_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [
+            (10, base + dt.timedelta(microseconds=hi)),      # gap == hi: in
+            (11, base + dt.timedelta(microseconds=hi + 1)),  # out
+            (12, base),                                      # gap == 0: out
+            (13, base + dt.timedelta(microseconds=1)),       # in
+        ],
+        "r_id long, ts timestamp",
+    )
+    out = interval_join(left, right, left_ts="ts", right_ts="ts",
+                        lo_us=0, hi_us=hi)
+    got = sorted(r["r_id"] for r in out.collect())
+    assert got == [10, 13]
+
+
+def test_interval_join_with_keys_and_empty_interval(spark):
+    import pytest as _pytest
+    from osm_conflate_spark.operators.temporal import interval_join
+
+    left, right = _mk_events(spark)
+    out = interval_join(
+        left, right, left_ts="ts", right_ts="ts",
+        lo_us=0, hi_us=10 * 60_000_000, on=["user_id"],
+    )
+    pairs = {(r["l_id"], r["r_id"]) for r in out.collect()}
+    assert (103, 203) in pairs           # same user, 4 min gap
+    assert all(l != 104 for l, _ in pairs)  # user 3 has no rights
+    with _pytest.raises(ValueError):
+        interval_join(left, right, left_ts="ts", right_ts="ts",
+                      lo_us=5, hi_us=5)
