@@ -90,6 +90,15 @@ def _portable(name: str) -> str:
                    {sqlgen.tile_y_sql('lat', 12)} AS y
             FROM pts
         """,
+        # Z-order / Morton key (layout clustering; operators/layout.py)
+        "zorder_key": f"""
+            WITH pts AS ({_DS_PTS}),
+            q AS (SELECT k, {sqlgen.quantize_sql('lon', -180.0, 180.0, 16)} AS ix,
+                         {sqlgen.quantize_sql('lat', -90.0, 90.0, 16)} AS iy
+                  FROM pts)
+            SELECT k, ix, iy, {sqlgen.zorder_interleave_sql('ix', 'iy', 16)} AS zkey
+            FROM q
+        """,
         # A2 — dataset extent bbox
         "bbox_extent": f"""
             WITH pts AS ({_DS_PTS})
@@ -1414,13 +1423,27 @@ WHERE s.event_type = 'signup' AND c.event_type = 'click'
 """
 
 
+_BM25_TERMS = ["hash", "join", "merge", "vector"]
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the documents table (Okapi with the
+    Lucene +1-smoothed idf): query-term array filter BEFORE the
+    explode, broadcast df/idf + corpus stats, TakeOrderedAndProject
+    top-k — see operators/search.py for the plan walk-through."""
+    from osm_conflate_spark.operators.search import bm25_topk
+
+    _register(spark, sf_dir)
+    return bm25_topk(spark.table("documents"), _BM25_TERMS, k=25)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _sql_query(name)
         for name in [
             "distance", "cell_index", "tiles_z12", "bbox_extent", "ref_dedup",
             "action_counts", "dedup_exact", "token_stats",
-            "events_hourly", "tpch_q1", "top_customers",
+            "events_hourly", "tpch_q1", "top_customers", "zorder_key",
         ]
     }
     q.update(
@@ -1466,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         token_percentiles=_q_token_percentiles,
         # round-5 widening: temporal joins Spark lacks as built-ins
         asof_join=_q_asof_join,
+        bm25_topk=_q_bm25_topk,
         asof_tolerance=_q_asof_tolerance,
         interval_join=_q_interval_join,
     )
@@ -1478,7 +1502,7 @@ def oracle_sql() -> dict[str, str]:
         for name in [
             "distance", "cell_index", "tiles_z12", "bbox_extent", "ref_dedup",
             "action_counts", "dedup_exact", "tpch_q1",
-            "top_customers", "candidate_pairs", "tag_merge",
+            "top_customers", "candidate_pairs", "tag_merge", "zorder_key",
         ]
     }
     out["tag_filter"] = _TAG_FILTER_DUCK
@@ -1534,6 +1558,9 @@ def oracle_sql() -> dict[str, str]:
     out["domain_stats_psl"] = _domain_stats_psl_oracle_duck()
     out["pii_scrub"] = _pii_scrub_sql("duck")
     out["contamination"] = _CONTAMINATION_DUCK
+    from osm_conflate_spark.operators.search import bm25_topk_duck_sql
+
+    out["bm25_topk"] = bm25_topk_duck_sql(_BM25_TERMS, k=25)
     out["asof_join"] = _ASOF_DUCK
     out["asof_tolerance"] = _ASOF_TOL_DUCK
     out["interval_join"] = _INTERVAL_DUCK

@@ -253,3 +253,30 @@ def tile_parent_sql(xy: str, levels_up: int) -> str:
     Spark SQL has no infix shift and tile coords (< 2^26) are exact in
     float64 in both engines."""
     return f"CAST(floor(({xy}) / {dlit(float(1 << levels_up))}) AS BIGINT)"
+
+
+def quantize_sql(coord: str, lo: float, hi: float, bits: int) -> str:
+    """Clamped fixed-point quantization of a coordinate into
+    [0, 2^bits): the cell index along one Z-order axis."""
+    n = 1 << bits
+    return (
+        f"least({n - 1}, greatest(0, CAST(floor(({coord} - {dlit(lo)}) / "
+        f"{dlit(hi - lo)} * {dlit(float(n))}) AS BIGINT)))"
+    )
+
+
+def zorder_interleave_sql(ix: str, iy: str, bits: int = 16) -> str:
+    """Morton/Z-order key: bit-interleave two quantized axes (ix in
+    even positions, iy in odd) — the locality-preserving sort key used
+    to cluster spatial data on disk so that bounding-box scans touch
+    few contiguous key ranges (the standard data-layout trick for
+    100 TB spatial tables; Delta/Iceberg OPTIMIZE ZORDER does exactly
+    this).  Infix ``>>``/``<<``/``&``/``|`` parse identically in
+    Spark 4 and DuckDB, so one text serves both engines.  ``ix``/``iy``
+    should be simple column refs (pre-computed via
+    :func:`quantize_sql`) — the expression repeats them 2*bits times."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({ix}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({iy}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"

@@ -1,0 +1,137 @@
+"""Ranked full-text search: BM25 top-k over the document corpus.
+
+The classic webtext retrieval operator (Robertson/Spärck-Jones BM25,
+the Okapi formulation with the +1-smoothed idf used by Lucene):
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    s(d, q) = sum_t idf(t) * tf * (k1 + 1)
+                       / (tf + k1 * (1 - b + b * dl / avgdl))
+
+Spark plan (one corpus scan, everything map-side until two skinny
+aggs):
+
+1. tokenize once; ``dl = size(tokens)`` rides along;
+2. ``filter(tokens, x -> array_contains(query, x))`` prunes each
+   row's token array to query terms BEFORE the explode — the explode
+   output is O(matching tokens), not O(all tokens), and rows with no
+   hits vanish at the scan stage (JVM codegen, no UDF);
+3. tf agg: groupBy (doc, dl, term) count — map-side combining;
+4. df/idf: groupBy term over the tf table (<= |query| rows) and the
+   2-scalar corpus stats (N, avgdl) — both end up BROADCAST to the
+   scoring join, so the big side never reshuffles;
+5. score agg: groupBy doc; top-k via orderBy+limit, which Spark plans
+   as TakeOrderedAndProject (per-partition partial top-k, no global
+   sort — asserted in tests).
+
+Corpus stats note: N / avgdl must count ALL docs (not just docs with
+query hits), so they come from a separate 1-row aggregate of the
+tokenized scan; Catalyst reuses nothing across the two scans at this
+size, and at 100 TB you'd checkpoint the tokenized projection or keep
+(N, avgdl) as table-level metadata maintained at ingest — noted, not
+built.  The DuckDB oracle replays the identical formula with list
+ops; scores are rounded to 1e-6 and ordered by (rounded score, doc)
+so the top-k cut is engine-deterministic.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score for ``query_terms`` (scored
+    on lowercased whitespace tokens; ties broken by ascending id).
+    Returns (id, score) with score rounded to 1e-6 — the rounding is
+    part of the ordering so the cut is deterministic cross-engine."""
+    terms = sorted(set(t.lower() for t in query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    qlit = "array(" + ", ".join(f"'{t}'" for t in terms) + ")"
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.expr(f"filter(split(lower({text_col}), ' '), x -> x != '')").alias("__w"),
+    ).select(
+        "__id",
+        F.expr("size(__w)").alias("__dl"),
+        F.expr(f"filter(__w, x -> array_contains({qlit}, x))").alias("__hits"),
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
+    )
+    tf = (
+        toks.where(F.expr("size(__hits) > 0"))
+        .select("__id", "__dl", F.explode("__hits").alias("__term"))
+        .groupBy("__id", "__dl", "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    df_tbl = tf.groupBy("__term").agg(F.countDistinct("__id").alias("__df"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "__term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "__s",
+            F.log(1.0 + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5))
+            * (F.col("__tf") * (k1 + 1.0))
+            / (
+                F.col("__tf")
+                + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+            ),
+        )
+        .groupBy("__id")
+        .agg(F.round(F.sum("__s"), 6).alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("__id").asc())
+        .limit(k)
+        .select(F.col("__id").alias(id_col), "score")
+    )
+
+
+def bm25_topk_duck_sql(
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of :func:`bm25_topk` — same tokenization, same
+    formula, same rounded ordering."""
+    terms = sorted(set(t.lower() for t in query_terms))
+    qlit = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+    return f"""
+WITH toks AS (
+    SELECT {id_col} AS id,
+           list_filter(string_split(lower({text_col}), ' '), x -> x != '') AS w
+    FROM {table}
+),
+stats AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM toks),
+tf AS (
+    SELECT id, len(w) AS dl, t.term AS term, count(*) AS tf
+    FROM toks, unnest(list_filter(w, x -> list_contains({qlit}, x))) AS t(term)
+    GROUP BY id, len(w), t.term
+),
+df AS (SELECT term, count(DISTINCT id) AS df FROM tf GROUP BY term)
+SELECT tf.id AS {id_col},
+       round(sum(
+           ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({k1} + 1))
+           / (tf.tf + {k1} * (1 - {b} + {b} * tf.dl / stats.avgdl))
+       ), 6) AS score
+FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats
+GROUP BY tf.id
+ORDER BY score DESC, tf.id ASC
+LIMIT {k}
+"""

@@ -462,3 +462,101 @@ def test_interval_join_with_keys_and_empty_interval(spark):
     with _pytest.raises(ValueError):
         interval_join(left, right, left_ts="ts", right_ts="ts",
                       lo_us=5, hi_us=5)
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked search (operators/search.py)
+
+
+def test_bm25_matches_hand_computation(spark):
+    import math
+    from osm_conflate_spark.operators.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join hash join hash"),   # tf(hash)=3 tf(join)=2 dl=5
+            (2, "merge sort merge"),           # tf(merge)=2 dl=3
+            (3, "scan filter project"),        # no hits, dl=3
+            (4, "join"),                       # tf(join)=1 dl=1
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["score"] for r in
+           bm25_topk(docs, ["hash", "join"], k=10).collect()}
+    n, avgdl, k1, b = 4, 3.0, 1.2, 0.75
+
+    def idf(df):
+        return math.log(1 + (n - df + 0.5) / (df + 0.5))
+
+    def part(tf, dl, df):
+        return idf(df) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    want1 = part(3, 5, 1) + part(2, 5, 2)
+    want4 = part(1, 1, 2)
+    assert abs(out[1] - round(want1, 6)) < 1e-9
+    assert abs(out[4] - round(want4, 6)) < 1e-9
+    assert 3 not in out          # zero-hit doc never scored
+    assert 2 not in out          # terms not in query don't leak
+    assert len(out) == 2
+
+
+def test_bm25_topk_plan(spark):
+    """The top-k must be TakeOrderedAndProject (partial per-partition
+    top-k), never a global Sort; df/idf and corpus stats join
+    broadcast."""
+    from osm_conflate_spark.operators.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, "hash join scan") for i in range(50)], "doc_id long, text string"
+    )
+    out = bm25_topk(docs, ["hash"], k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bm25_topk(docs, [])
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (operators/layout.py)
+
+
+def test_zorder_prefix_locality(spark):
+    """Points that share a coarse grid cell at resolution r share the
+    top 2r bits of the 32-bit key (the property pruning relies on)."""
+    from osm_conflate_spark.operators.layout import with_zorder_key
+
+    pts = [
+        (1, 10.0001, 20.0001),
+        (2, 10.0002, 20.0002),   # ~30 m away from 1
+        (3, -45.0, -120.0),      # far away
+    ]
+    df = spark.createDataFrame(pts, "k long, lat double, lon double")
+    got = {r["k"]: r["zkey"] for r in with_zorder_key(df).collect()}
+    # coarse prefix: top 16 of 32 bits == 8-bit-per-axis resolution
+    assert got[1] >> 16 == got[2] >> 16
+    assert got[1] >> 16 != got[3] >> 16
+    # interleave is a bijection on the quantized grid: distinct cells
+    # at full resolution -> distinct keys
+    assert len(set(got.values())) >= 2
+
+
+def test_cluster_by_zorder_plan_and_order(spark):
+    from osm_conflate_spark.operators.layout import cluster_by_zorder
+
+    rows = [(i, (i * 7 % 180) - 90.0, (i * 13 % 360) - 180.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, lat double, lon double")
+    out = cluster_by_zorder(df, num_partitions=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(zkey" in plan
+    # within every partition the key is sorted
+    import pandas as pd
+
+    def check(it):
+        for pdf in it:
+            assert (pdf["zkey"].sort_values().values == pdf["zkey"].values).all()
+            yield pdf[["k"]]
+
+    n = out.mapInPandas(check, "k long").count()
+    assert n == 200
