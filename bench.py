@@ -244,6 +244,8 @@ HEADLINE_QUERIES = [
     # round 5: PSL join path, shingle heavy-hitter escape, PII scrub,
     # decontamination
     "domain_stats_psl", "dup_shingles_hot", "pii_scrub", "contamination",
+    # round 5: temporal joins, ranked search, layout key
+    "asof_join", "interval_join", "bm25_topk", "zorder_key",
 ]
 
 
