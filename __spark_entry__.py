@@ -99,6 +99,32 @@ def _portable(name: str) -> str:
             SELECT k, ix, iy, {sqlgen.zorder_interleave_sql('ix', 'iy', 16)} AS zkey
             FROM q
         """,
+        # Geohash (Niemeyer base-32) — the third spatial key scheme
+        # beside the band-cell grid and z-tiles; ONE portable text, the
+        # quantized axes and the 5p-bit key each computed once in a CTE
+        # (sqlgen.geohash_* would otherwise repeat them per bit/char).
+        "geohash": f"""
+            WITH pts AS ({_DS_PTS}),
+            q AS (SELECT k, {sqlgen.quantize_sql('lon', -180.0, 180.0, 18)} AS glon,
+                         {sqlgen.quantize_sql('lat', -90.0, 90.0, 17)} AS glat
+                  FROM pts),
+            z AS (SELECT k, {sqlgen.geohash_bits_sql('glon', 'glat', 7)} AS gz
+                  FROM q)
+            SELECT k, gz, {sqlgen.geohash_chars_sql('gz', 7)} AS gh FROM z
+        """,
+        # CDC snapshot compaction: newest row per key (the web-corpus
+        # "latest crawl per url" / Iceberg MERGE-compaction primitive).
+        # One window, map-side WindowGroupLimit top-1 per key — never
+        # materializes more than one row per (key, partition).
+        "latest_by_key": """
+            SELECT user_id, event_id, CAST(ts_epoch_expr AS BIGINT) AS ts_us,
+                   event_type, round(value, 6) AS value
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id
+                                             ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) t WHERE rn = 1
+        """,
         # A2 — dataset extent bbox
         "bbox_extent": f"""
             WITH pts AS ({_DS_PTS})
@@ -355,6 +381,8 @@ def _sql_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
             sql = sql.replace("epoch_expr", "CAST(date_trunc('hour', ts) AS LONG)").replace(
                 "events_src", "events"
             )
+        if name == "latest_by_key":
+            sql = sql.replace("ts_epoch_expr", "unix_micros(CAST(ts AS TIMESTAMP))")
         return spark.sql(sql)
 
     return run
@@ -1437,6 +1465,100 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(spark.table("documents"), _BM25_TERMS, k=25)
 
 
+_SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+_PR_ITERS = 5
+_PR_DEGREE = 3
+_PR_MULT = 48271
+_PR_DAMP = 0.85
+
+
+def _q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: hash-bucket the doc id
+    into cumulative-fraction ranges of the 60-bit space — seedless,
+    append-stable (a doc keeps its split across corpus rebuilds, the
+    leakage-prevention property), pure codegen CASE, no shuffle."""
+    from osm_conflate_spark.operators.sampling import split_assign_sql
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.selectExpr(
+        "doc_id",
+        f"{split_assign_sql('doc_id', _SPLIT_FRACS, 'spark')} AS split",
+    )
+
+
+def _train_split_oracle_duck() -> str:
+    from osm_conflate_spark.operators.sampling import split_assign_sql
+
+    return (
+        f"SELECT doc_id, {split_assign_sql('doc_id', _SPLIT_FRACS, 'duck')}"
+        " AS split FROM documents"
+    )
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the deterministic synthetic link graph (doc i ->
+    (i*48271 + j) mod N, j in 1..3 — valid node ids because the test
+    corpus has contiguous 0..N-1 doc ids), 5 iterations, d=0.85.
+    The published rank is round(rank*N, 6): rank*N ~ 1.0, so the 1e-6
+    rounding dwarfs cross-engine float addition-order noise (per-node
+    sums have in-degree-many terms).  operators/graph.py holds the
+    scale design: edges hash-partitioned on src ONCE and cached, only
+    the skinny rank table moves per iteration; dangling mass is a
+    broadcast 1-row aggregate (zero here by construction, but the
+    oracle replays the full formulation)."""
+    from osm_conflate_spark.operators.graph import (
+        pagerank,
+        synthetic_link_edges,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = synthetic_link_edges(docs, _PR_DEGREE, _PR_MULT)
+    ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMP)
+    n_df = F.broadcast(docs.agg(F.count(F.lit(1)).alias("__n")))
+    return ranks.crossJoin(n_df).selectExpr(
+        "node AS doc_id", "round(rank * __n, 6) AS rank_n"
+    )
+
+
+def _pagerank_oracle_duck() -> str:
+    """Unrolled-CTE replay of the identical fixed-iteration PageRank:
+    r_{t+1}(v) = (1-d)/N + d*(sum_{u->v} r_t(u)/deg(u) + dang_t/N),
+    including the dangling term (a scalar subquery per iteration) even
+    though this graph has none — the formulas must match, not just the
+    values on the easy graph.  Double-typed literals (1e0/0.85e0)
+    keep DuckDB out of DECIMAL arithmetic."""
+    d = f"{_PR_DAMP}e0"
+    parts = [
+        "WITH nn AS (SELECT count(*) AS n FROM documents)",
+        f"""e AS (SELECT doc_id AS src,
+                 (doc_id * {_PR_MULT} + j) % (SELECT n FROM nn) AS dst
+          FROM documents CROSS JOIN generate_series(1, {_PR_DEGREE}) t(j))""",
+        "deg AS (SELECT src, count(*) AS dg FROM e GROUP BY src)",
+        "ew AS (SELECT e.src, e.dst, 1e0 / deg.dg AS w FROM e JOIN deg USING (src))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "r0 AS (SELECT node, 1e0 / (SELECT n FROM nn) AS r FROM nodes)",
+    ]
+    for t in range(_PR_ITERS):
+        prev, cur = f"r{t}", f"r{t + 1}"
+        parts.append(f"""{cur} AS (
+          SELECT nodes.node,
+                 (1e0 - {d}) / (SELECT n FROM nn)
+                 + {d} * (COALESCE(c.s, 0e0)
+                          + (SELECT COALESCE(sum(r), 0e0) FROM {prev}
+                             WHERE node NOT IN (SELECT src FROM deg))
+                            / (SELECT n FROM nn)) AS r
+          FROM nodes LEFT JOIN (
+              SELECT ew.dst AS node, sum({prev}.r * ew.w) AS s
+              FROM ew JOIN {prev} ON ew.src = {prev}.node
+              GROUP BY ew.dst) c USING (node))""")
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node AS doc_id, round(r * (SELECT n FROM nn), 6) AS rank_n"
+        f" FROM r{_PR_ITERS}"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _sql_query(name)
@@ -1444,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "distance", "cell_index", "tiles_z12", "bbox_extent", "ref_dedup",
             "action_counts", "dedup_exact", "token_stats",
             "events_hourly", "tpch_q1", "top_customers", "zorder_key",
+            "geohash", "latest_by_key",
         ]
     }
     q.update(
@@ -1492,6 +1615,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bm25_topk=_q_bm25_topk,
         asof_tolerance=_q_asof_tolerance,
         interval_join=_q_interval_join,
+        # round-5 widening: link-graph ranking + corpus-split plumbing
+        pagerank=_q_pagerank,
+        train_split=_q_train_split,
     )
     return q
 
@@ -1503,8 +1629,12 @@ def oracle_sql() -> dict[str, str]:
             "distance", "cell_index", "tiles_z12", "bbox_extent", "ref_dedup",
             "action_counts", "dedup_exact", "tpch_q1",
             "top_customers", "candidate_pairs", "tag_merge", "zorder_key",
+            "geohash",
         ]
     }
+    out["latest_by_key"] = _portable("latest_by_key").replace(
+        "ts_epoch_expr", "epoch_us(ts)"
+    )
     out["tag_filter"] = _TAG_FILTER_DUCK
     out["token_stats"] = (
         _portable("token_stats")
@@ -1564,6 +1694,8 @@ def oracle_sql() -> dict[str, str]:
     out["asof_join"] = _ASOF_DUCK
     out["asof_tolerance"] = _ASOF_TOL_DUCK
     out["interval_join"] = _INTERVAL_DUCK
+    out["pagerank"] = _pagerank_oracle_duck()
+    out["train_split"] = _train_split_oracle_duck()
     out["lang_sample"] = _lang_sample_oracle_duck()
     out["pack_chunks"] = _pack_chunks_oracle_duck()
     out["token_percentiles"] = _token_percentiles_oracle_duck()

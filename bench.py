@@ -48,6 +48,48 @@ def membw_sample(seconds: float = 3.0) -> float:
     return n * a.nbytes * 2 / (time.monotonic() - t0) / 1e9
 
 
+_TRIAD_WORKER = (
+    "import time,numpy as np\n"
+    "a=np.zeros(100_000_000//8,dtype=np.float64)\n"
+    "t0=time.monotonic();n=0\n"
+    "while time.monotonic()-t0<{sec}: a+=1.0; n+=1\n"
+    "print(n*a.nbytes*2/(time.monotonic()-t0)/1e9)\n"
+)
+
+
+def coreset_membw(cores: int, seconds: float = 4.0) -> float:
+    """Aggregate achievable DRAM bandwidth (GB/s) of the core set
+    ``0..cores-1``: one streaming-triad worker pinned per core (taskset),
+    run concurrently, bandwidths summed.
+
+    Why this exists: the scaling gate compares N vs 4N EXECUTORS, and on
+    a real cluster 4N executors bring 4N memory controllers — aggregate
+    bandwidth scales with the fleet.  This sandbox runs both legs on ONE
+    socket, so a bandwidth-bound job's big leg is capped by the shared
+    DRAM ceiling no matter how well the engine scales.  Measuring each
+    leg's core set's *achievable aggregate bandwidth* lets the record
+    report a bandwidth-normalized efficiency
+    ``(T_hi/B_hi) / (T_lo/B_lo)`` — pages per second per GB/s of
+    available bandwidth — alongside the raw ratio, which is the honest
+    in-sandbox proxy for the per-executor-constant-bandwidth cluster the
+    gate describes.  Workers use 100 MB each (32 cores -> 3.2 GB peak).
+    """
+    procs = []
+    code = _TRIAD_WORKER.format(sec=seconds)
+    for c in range(cores):
+        cmd = [sys.executable, "-c", code]
+        if _have_taskset():
+            cmd = ["taskset", "-c", str(c)] + cmd
+        procs.append(
+            subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True)
+        )
+    total = 0.0
+    for p in procs:
+        out, _ = p.communicate(timeout=seconds * 10 + 60)
+        total += float(out.strip().splitlines()[-1])
+    return total
+
+
 def _median(xs):
     s = sorted(xs)
     m = len(s) // 2
@@ -620,6 +662,12 @@ def run_scaling(sf_dir: str):
     out = {}
     for n_exec in legs:
         cpus = 4 * n_exec
+        # Aggregate achievable bandwidth of THIS leg's core set, probed
+        # while the cores are otherwise idle (before the leg launches).
+        # Feeds the bandwidth-normalized efficiency — see coreset_membw.
+        bw = round(coreset_membw(cpus), 1)
+        print(f"coreset 0-{cpus - 1} aggregate membw: {bw} GB/s",
+              file=sys.stderr)
         env = dict(
             os.environ,
             SPARK_GRAFT_SF_DIR=sf_dir,
@@ -648,10 +696,23 @@ def run_scaling(sf_dir: str):
         out[n_exec]["pages_per_sec"] = round(
             out[n_exec]["n_pages"] / best, 1
         )
+        out[n_exec]["coreset_bw_gbps"] = bw
         print(f"local-cluster[{n_exec},4]: best {best}s "
-              f"({out[n_exec]['pages_per_sec']} pages/s)", file=sys.stderr)
+              f"({out[n_exec]['pages_per_sec']} pages/s, "
+              f"coreset bw {bw} GB/s)", file=sys.stderr)
     lo, hi = legs
     eff = out[hi]["pages_per_sec"] / (4 * out[lo]["pages_per_sec"])
+    # Bandwidth-normalized efficiency: pages/s per GB/s of the leg's
+    # achievable aggregate bandwidth.  On a real N-vs-4N cluster each
+    # executor brings its own DRAM channels (B scales ~4x); in this
+    # one-socket sandbox B_hi/B_lo is the ceiling the raw ratio is
+    # capped by.  eff_bw ~= 1.0 means the engine converts every unit of
+    # available bandwidth into the same throughput at both sizes — i.e.
+    # no serial/coordination bottleneck beyond the hardware confound.
+    bw_lo, bw_hi = out[lo]["coreset_bw_gbps"], out[hi]["coreset_bw_gbps"]
+    eff_bw = (out[hi]["pages_per_sec"] / bw_hi) / (
+        out[lo]["pages_per_sec"] / bw_lo
+    )
     summary = {
         "metric": f"scaling_efficiency_{hi}x4_vs_{lo}x4_executors",
         "value": round(eff, 3),
@@ -659,6 +720,9 @@ def run_scaling(sf_dir: str):
         "sf": sf_of(sf_dir),
         f"throughput_{lo * 4}": out[lo]["pages_per_sec"],
         f"throughput_{hi * 4}": out[hi]["pages_per_sec"],
+        f"coreset_bw_{lo * 4}": bw_lo,
+        f"coreset_bw_{hi * 4}": bw_hi,
+        "bw_normalized_efficiency": round(eff_bw, 3),
         "n_pages": out[hi]["n_pages"],
         "pinned": pin,
         "queries": {},
@@ -671,7 +735,9 @@ def run_scaling(sf_dir: str):
             f"pinned={pin} | local-cluster[{lo},4] "
             f"{out[lo]['pages_per_sec']} pages/s ({out[lo]['value']}s) | "
             f"local-cluster[{hi},4] {out[hi]['pages_per_sec']} pages/s "
-            f"({out[hi]['value']}s) | efficiency {summary['value']} |\n"
+            f"({out[hi]['value']}s) | efficiency {summary['value']} "
+            f"(coreset bw {bw_lo} vs {bw_hi} GB/s -> bw-normalized "
+            f"{summary['bw_normalized_efficiency']}) |\n"
         )
     return summary
 

@@ -280,3 +280,58 @@ def zorder_interleave_sql(ix: str, iy: str, bits: int = 16) -> str:
         terms.append(f"(((({ix}) >> {i}) & 1) << {2 * i})")
         terms.append(f"(((({iy}) >> {i}) & 1) << {2 * i + 1})")
     return "(" + " | ".join(terms) + ")"
+
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_sql(lat: str, lon: str, precision: int = 7) -> str:
+    """Geohash (Niemeyer base-32) of a lat/lon — ONE portable SQL text
+    for Spark and DuckDB, so the driver row needs no engine dialects.
+
+    A geohash is exactly a Morton code with the LONGITUDE bit first,
+    grouped 5 bits per character: for ``precision`` chars there are
+    ``5p`` bits — ceil(5p/2) longitude bits, floor(5p/2) latitude bits
+    — so the two axes quantize via :func:`quantize_sql` (whose
+    least/greatest clamp gives the standard edge behavior: lat=90 /
+    lon=180 land in the last cell) and interleave with lon occupying
+    the MOST significant bit.  In LSB terms: odd ``precision`` puts
+    lon bits at even positions, even ``precision`` the reverse.  Total
+    bits ≤ 60 for precision ≤ 12, so the key fits a BIGINT in ANSI
+    mode.  Character k is then a substr into the base-32 alphabet —
+    all of it whole-stage-codegen in Spark, vectorized in DuckDB.
+    """
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    ilon = quantize_sql(lon, -180.0, 180.0, lon_bits)
+    ilat = quantize_sql(lat, -90.0, 90.0, total // 2)
+    z = geohash_bits_sql(ilon, ilat, precision)
+    return geohash_chars_sql(z, precision)
+
+
+def geohash_bits_sql(ilon: str, ilat: str, precision: int) -> str:
+    """The 5·precision-bit geohash integer from pre-quantized axes
+    (``ilon``/``ilat`` SHOULD be simple column refs computed once in a
+    CTE via :func:`quantize_sql` — each is repeated per bit here)."""
+    if not 1 <= precision <= 12:
+        raise ValueError("precision must be in 1..12")
+    total = 5 * precision
+    terms = []
+    for i in range((total + 1) // 2):
+        pos = 2 * i if total % 2 else 2 * i + 1
+        terms.append(f"(((({ilon}) >> {i}) & 1) << {pos})")
+    for i in range(total // 2):
+        pos = 2 * i + 1 if total % 2 else 2 * i
+        terms.append(f"(((({ilat}) >> {i}) & 1) << {pos})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def geohash_chars_sql(z: str, precision: int) -> str:
+    """Base-32 rendering of a geohash bit key (``z`` should be a simple
+    column ref — it is repeated per character)."""
+    chars = [
+        f"substr('{_GEOHASH32}', CAST(((({z}) >> {5 * (precision - 1 - k)})"
+        f" & 31) + 1 AS INT), 1)"
+        for k in range(precision)
+    ]
+    return "concat(" + ", ".join(chars) + ")"

@@ -93,3 +93,29 @@ def pack_sequences(
         F.col(tokens_col).alias("n_tokens"),
         F.floor((cum - F.col(tokens_col)) / F.lit(budget)).alias("chunk_id"),
     )
+
+
+def split_assign_sql(id_expr: str, fractions: dict[str, float],
+                     engine: str) -> str:
+    """Deterministic stratum-free train/val/test assignment: bucket the
+    portable 60-bit hash of the id into cumulative-fraction ranges of
+    [0, 2^60).  The split is seedless, rerun-stable, engine-identical
+    (same property as :func:`deterministic_sample`), and — because the
+    hash is of the ID, not the row — stable under re-partitioning,
+    backfills, and incremental appends: a document keeps its split for
+    the life of the corpus, which is what prevents silent train/test
+    leakage when the corpus is rebuilt.  Fractions must sum to 1; the
+    last split takes the remainder of the hash space so no row is ever
+    unassigned.  Pure CASE expression: whole-stage codegen in Spark,
+    no shuffle, no UDF."""
+    if not fractions or abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be non-negative")
+    key = sample_key_sql(id_expr, engine)
+    names = list(fractions)
+    arms, cum = [], 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        arms.append(f"WHEN {key} < {int(cum * (1 << 60))} THEN '{name}'")
+    return "CASE " + " ".join(arms) + f" ELSE '{names[-1]}' END"
