@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from osm_conflate_spark.config import ConflateConfig
 from osm_conflate_spark.functions import sqlgen
 from osm_conflate_spark.functions import text as tfn
+from osm_conflate_spark.functions import web as wfn
 from osm_conflate_spark.operators import dedup as dd
 from osm_conflate_spark.operators import similarity as sim
 from osm_conflate_spark.operators.candidates import candidate_pairs
@@ -124,6 +125,26 @@ def _portable(name: str) -> str:
                                              ORDER BY ts DESC, event_id DESC) AS rn
                 FROM events
             ) t WHERE rn = 1
+        """,
+        # URL normalization (crawl frontier / url-dedup key): messy
+        # synthesized urls exercising every branch — uppercase scheme
+        # and host, userinfo, default + non-default ports, fragments,
+        # empty path, empty query.  One portable text (web.py).
+        "url_normalize": f"""
+            WITH u AS (SELECT doc_id,
+              CASE doc_id % 6
+                WHEN 0 THEN 'HTTP://WWW.' || upper(source) || (doc_id % 20)
+                            || '.COM:80/Doc/' || doc_id || '#sec'
+                WHEN 1 THEN 'https://user:pw@' || source || (doc_id % 20)
+                            || '.com:8443/a?x=' || doc_id
+                WHEN 2 THEN 'https://' || source || (doc_id % 20) || '.com:443'
+                WHEN 3 THEN 'http://' || source || (doc_id % 20) || '.co.uk/?'
+                WHEN 4 THEN 'https://cdn.' || source || (doc_id % 20)
+                            || '.com/path%20x?a=1&b=2#frag'
+                ELSE 'http://' || source || (doc_id % 20) || '.com/doc/' || doc_id
+              END AS url FROM documents)
+            SELECT doc_id, url, {wfn.url_normalize_sql('url')} AS url_norm
+            FROM u
         """,
         # A2 — dataset extent bbox
         "bbox_extent": f"""
@@ -1465,6 +1486,26 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(spark.table("documents"), _BM25_TERMS, k=25)
 
 
+def _dedup_norm_sql(engine: str) -> str:
+    """Normalized-text exact dedup: the C4/Gopher pre-pass (lowercase,
+    punctuation runs -> one space, trim) applied BEFORE the group key,
+    so case/punctuation variants of the same text collapse.  Same
+    single-shuffle shape as ``dedup_exact`` but grouped on md5(norm) —
+    the raw text never rides the exchange.  Engine fork is only the
+    DuckDB 'g' regex flag (functions/text.py)."""
+    norm = tfn.normalize_text_sql("text", engine)
+    return f"""
+WITH n AS (SELECT doc_id, {norm} AS norm_text FROM documents)
+SELECT md5(norm_text) AS h, min(doc_id) AS keeper_id, count(*) AS n_dups
+FROM n GROUP BY norm_text
+"""
+
+
+def _q_dedup_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir)
+    return spark.sql(_dedup_norm_sql("spark"))
+
+
 _SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 _PR_ITERS = 5
@@ -1566,7 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "distance", "cell_index", "tiles_z12", "bbox_extent", "ref_dedup",
             "action_counts", "dedup_exact", "token_stats",
             "events_hourly", "tpch_q1", "top_customers", "zorder_key",
-            "geohash", "latest_by_key",
+            "geohash", "latest_by_key", "url_normalize",
         ]
     }
     q.update(
@@ -1618,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 widening: link-graph ranking + corpus-split plumbing
         pagerank=_q_pagerank,
         train_split=_q_train_split,
+        dedup_norm=_q_dedup_norm,
     )
     return q
 
@@ -1629,9 +1671,10 @@ def oracle_sql() -> dict[str, str]:
             "distance", "cell_index", "tiles_z12", "bbox_extent", "ref_dedup",
             "action_counts", "dedup_exact", "tpch_q1",
             "top_customers", "candidate_pairs", "tag_merge", "zorder_key",
-            "geohash",
+            "geohash", "url_normalize",
         ]
     }
+    out["dedup_norm"] = _dedup_norm_sql("duck")
     out["latest_by_key"] = _portable("latest_by_key").replace(
         "ts_epoch_expr", "epoch_us(ts)"
     )

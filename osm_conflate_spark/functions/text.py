@@ -194,3 +194,14 @@ def fingerprint_duck_sql(text: str, k: int = 8) -> str:
         f"list_min([{h} FOR i IN range(1, length({text}) - {k} + 2)]) "
         f"ELSE {hash60_sql(text, 'duck')} END"
     )
+
+
+def normalize_text_sql(text: str, engine: str) -> str:
+    """Dedup-key normalization (the C4/Gopher-style pass applied before
+    fuzzy/exact text dedup): lowercase, every run of non-alphanumerics
+    collapsed to one space, trimmed.  ASCII-centric by design (matches
+    the rest of the quality suite); the ``+`` quantifier does the
+    whitespace collapse in the same regex pass.  One regexp_replace —
+    codegen in Spark; DuckDB needs the explicit ``'g'`` flag."""
+    g = ", 'g'" if engine == "duck" else ""
+    return f"trim(regexp_replace(lower({text}), '[^a-z0-9]+', ' '{g}))"

@@ -264,3 +264,44 @@ def registrable_domain_psl_duck_sql(
         f"array_to_string({labs}[{n} - {pslen}:{n}], '.') END"
     )
     return ctes, " ".join(joins), domain
+
+
+def url_normalize_sql(url: str) -> str:
+    """RFC 3986 syntax-based normalization of an absolute http(s) URL
+    as ONE portable SQL text (regexp_extract/lower/CASE/concat only —
+    codegen in Spark, vectorized in DuckDB, no dialect fork):
+
+    * scheme and host lowercased (case-insensitive by spec);
+    * userinfo stripped (crawler identity never belongs in a dedup key);
+    * default ports dropped (http:80 / https:443), others kept;
+    * fragment dropped (never sent to the server — pure client state);
+    * empty path becomes '/' (``http://a.com`` == ``http://a.com/``);
+    * query kept verbatim (parameter reordering changes semantics on
+      enough real sites that it is NOT safe to canonicalize).
+
+    This is the key-side normalization a crawl pipeline applies before
+    url-level dedup / frontier membership; scope matches the other web
+    helpers (absolute ``scheme://`` URLs, ASCII hosts — IDN/IPv6 are
+    normalized upstream).  Inputs without a scheme yield a ``'://...'``
+    string rather than NULL: garbage stays visibly garbage.
+    """
+    scheme = f"lower(regexp_extract({url}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+    auth = f"regexp_extract({url}, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)"
+    hostport = f"regexp_extract({auth}, '^(?:[^@]*@)?(.*)$', 1)"
+    host = f"lower(regexp_extract({hostport}, '^([^:]+)', 1))"
+    port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    path = (
+        f"regexp_extract({url}, "
+        f"'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1)"
+    )
+    query = f"regexp_extract({url}, '^[^#]*[?]([^#]*)', 1)"
+    keep_port = (
+        f"CASE WHEN {port} = '' OR ({scheme} = 'http' AND {port} = '80') "
+        f"OR ({scheme} = 'https' AND {port} = '443') THEN '' "
+        f"ELSE ':' || {port} END"
+    )
+    return (
+        f"concat({scheme}, '://', {host}, {keep_port}, "
+        f"CASE WHEN {path} = '' THEN '/' ELSE {path} END, "
+        f"CASE WHEN {query} = '' THEN '' ELSE '?' || {query} END)"
+    )

@@ -193,3 +193,88 @@ def test_split_assign_engine_identity_and_stability(spark):
     bigger = dict(duckdb.sql(
         f"SELECT id, {d_sql} AS s FROM range(0, 600) t(id)").fetchall())
     assert all(bigger[k] == v for k, v in got_duck.items())
+
+
+# ---------------------------------------------------------------------------
+# URL normalization + normalized-text dedup
+# ---------------------------------------------------------------------------
+
+_MESSY_URLS = [
+    "HTTP://WWW.Example.COM:80/a/b?x=1#frag",
+    "https://user:pw@A.com:8443",
+    "https://a.com:443/",
+    "http://a.com",
+    "http://a.com/?",
+    "http://a.com/p%20q?a=1&b=2#z",
+    "https://Sub.Domain.ORG:8080/Path/Is/CaseSensitive",
+    "http://a.com:8080/",
+    "https://a.com/#only-fragment",
+    "http://x@b.net/q?y#f",
+]
+
+
+def _url_norm_ref(u):
+    """Independent oracle: urllib.parse-based RFC 3986 syntax
+    normalization (same rules, stdlib parser instead of regexes)."""
+    from urllib.parse import urlsplit
+
+    p = urlsplit(u)
+    scheme = p.scheme.lower()
+    host = (p.hostname or "").lower()
+    port = ""
+    if p.port is not None and (scheme, p.port) not in (
+        ("http", 80), ("https", 443),
+    ):
+        port = f":{p.port}"
+    path = p.path or "/"
+    query = f"?{p.query}" if p.query else ""
+    return f"{scheme}://{host}{port}{path}{query}"
+
+
+def test_url_normalize_matches_urllib_oracle_both_engines(spark):
+    import duckdb
+
+    from osm_conflate_spark.functions.web import url_normalize_sql
+
+    want = [_url_norm_ref(u) for u in _MESSY_URLS]
+    df = spark.createDataFrame([(u,) for u in _MESSY_URLS], "url string")
+    got_spark = [r["n"] for r in df.select(
+        F.expr(url_normalize_sql("url")).alias("n")).collect()]
+    assert got_spark == want
+    got_duck = [
+        duckdb.sql("SELECT " + url_normalize_sql(f"'{u}'")).fetchone()[0]
+        for u in _MESSY_URLS
+    ]
+    assert got_duck == want
+
+
+def test_url_normalize_idempotent(spark):
+    from osm_conflate_spark.functions.web import url_normalize_sql
+
+    once = [_url_norm_ref(u) for u in _MESSY_URLS]
+    df = spark.createDataFrame([(u,) for u in once], "url string")
+    twice = [r["n"] for r in df.select(
+        F.expr(url_normalize_sql("url")).alias("n")).collect()]
+    assert twice == once
+
+
+def test_normalize_text_collapses_variants(spark):
+    import duckdb
+
+    from osm_conflate_spark.functions.text import normalize_text_sql
+
+    variants = [" Hello,  WORLD!! ", "hello world", "HELLO--WORLD",
+                "hello\tworld\n", "different text"]
+    df = spark.createDataFrame([(v,) for v in variants], "text string")
+    got_spark = [r["n"] for r in df.select(
+        F.expr(normalize_text_sql("text", "spark")).alias("n")).collect()]
+    got_duck = [
+        duckdb.sql(
+            "SELECT " + normalize_text_sql(f"'{v}'", "duck").replace(
+                "\t", "' || chr(9) || '").replace("\n", "' || chr(10) || '")
+        ).fetchone()[0]
+        for v in variants
+    ]
+    assert got_spark == got_duck
+    assert got_spark[:4] == ["hello world"] * 4
+    assert got_spark[4] == "different text"
