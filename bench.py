@@ -288,6 +288,10 @@ HEADLINE_QUERIES = [
     "domain_stats_psl", "dup_shingles_hot", "pii_scrub", "contamination",
     # round 5: temporal joins, ranked search, layout key
     "asof_join", "interval_join", "bm25_topk", "zorder_key",
+    # round 5b: iterative link-graph ranking, geohash keys, url
+    # normalization (pagerank is the headline's only multi-job query —
+    # it times the engine's iterative story, not one scan)
+    "pagerank", "geohash", "url_normalize",
 ]
 
 
