@@ -79,6 +79,51 @@ def _portable(name: str) -> str:
             SELECT d.k AS k1, m.k AS k2, round({dist}, 3) AS dist_m
             FROM pts d JOIN pts m ON m.k = d.k + 1
         """,
+        # Great-circle distance + initial bearing (haversine) — exact
+        # spherical twin of X1 for long-range extents; same consecutive
+        # -key pair frame as "distance" so the two are line-by-line
+        # comparable in the driver record.
+        "gc_distance": f"""
+            WITH pts AS ({_DS_PTS})
+            SELECT d.k AS k1, m.k AS k2,
+                   round({sqlgen.haversine_sql('d.lat', 'd.lon', 'm.lat', 'm.lon')}, 3)
+                       AS gc_m,
+                   round({sqlgen.bearing_sql('d.lat', 'd.lon', 'm.lat', 'm.lon')}, 3)
+                       AS bearing_deg
+            FROM pts d JOIN pts m ON m.k = d.k + 1
+        """,
+        # Way/polyline length (A3 companion): the reference's ways are
+        # ordered nd sequences (SURVEY §2 data model); here 20
+        # consecutive-key points form one way, legs are great-circle
+        # (haversine) between consecutive nds, chord is first->last.
+        # One shuffle total at scale: the lag() window partitions on
+        # way_id and the groupBy reuses that partitioning (Catalyst
+        # skips the second Exchange — same-key window->agg fusion as
+        # latest_by_key).  Each leg is rounded to 6 before the sum so
+        # the engines' different fold orders cannot move the 3-digit
+        # rounded total.
+        "way_length": f"""
+            WITH pts AS ({_DS_PTS}),
+            w AS (
+                SELECT CAST(floor(k / 20.0E0) AS BIGINT) AS way_id, k, lat, lon
+                FROM pts
+            ),
+            legs AS (
+                SELECT way_id, k, lat, lon,
+                       lag(lat) OVER (PARTITION BY way_id ORDER BY k) AS plat,
+                       lag(lon) OVER (PARTITION BY way_id ORDER BY k) AS plon
+                FROM w
+            )
+            SELECT way_id,
+                   CAST(count(*) AS BIGINT) AS n_points,
+                   round(sum(CASE WHEN plat IS NULL THEN 0.0E0
+                             ELSE round({sqlgen.haversine_sql('plat', 'plon', 'lat', 'lon')}, 6)
+                             END), 3) AS length_m,
+                   round({sqlgen.haversine_sql('min_by(lat, k)', 'min_by(lon, k)', 'max_by(lat, k)', 'max_by(lon, k)')}, 3)
+                       AS chord_m
+            FROM legs
+            GROUP BY way_id
+        """,
         # S1 — cell index
         "cell_index": f"""
             WITH pts AS ({_DS_PTS})
@@ -1486,6 +1531,29 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(spark.table("documents"), _BM25_TERMS, k=25)
 
 
+def _q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-5 terms by summed corpus tf-idf (smoothed idf):
+    one tokenized scan feeds both df and tf aggregates, df/N join back
+    as broadcasts, WindowGroupLimit takes the per-language cut — see
+    operators/search.py::tfidf_top_terms for the plan walk-through."""
+    from osm_conflate_spark.operators.search import tfidf_top_terms
+
+    _register(spark, sf_dir)
+    return tfidf_top_terms(spark.table("documents"), k=5)
+
+
+def _q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span removal + reassembly (Lee-et-al exact
+    -substring dedup at 8-token tile granularity): segments built in
+    codegen (no token explode), one first-occurrence window, one
+    reassembly groupBy — two shuffles, zero joins.  See
+    operators/repetition.py::segment_dedup for the plan walk-through."""
+    from osm_conflate_spark.operators.repetition import segment_dedup
+
+    _register(spark, sf_dir)
+    return segment_dedup(spark.table("documents"), seg_len=8)
+
+
 def _dedup_norm_sql(engine: str) -> str:
     """Normalized-text exact dedup: the C4/Gopher pre-pass (lowercase,
     punctuation runs -> one space, trim) applied BEFORE the group key,
@@ -1604,10 +1672,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _sql_query(name)
         for name in [
-            "distance", "cell_index", "tiles_z12", "bbox_extent", "ref_dedup",
-            "action_counts", "dedup_exact", "token_stats",
-            "events_hourly", "tpch_q1", "top_customers", "zorder_key",
-            "geohash", "latest_by_key", "url_normalize",
+            "distance", "gc_distance", "way_length", "cell_index", "tiles_z12",
+            "bbox_extent", "ref_dedup", "action_counts", "dedup_exact",
+            "token_stats", "events_hourly", "tpch_q1", "top_customers",
+            "zorder_key", "geohash", "latest_by_key", "url_normalize",
         ]
     }
     q.update(
@@ -1654,6 +1722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 widening: temporal joins Spark lacks as built-ins
         asof_join=_q_asof_join,
         bm25_topk=_q_bm25_topk,
+        tfidf_terms=_q_tfidf_terms,
+        segment_dedup=_q_segment_dedup,
         asof_tolerance=_q_asof_tolerance,
         interval_join=_q_interval_join,
         # round-5 widening: link-graph ranking + corpus-split plumbing
@@ -1668,10 +1738,10 @@ def oracle_sql() -> dict[str, str]:
     out = {
         name: _portable(name)
         for name in [
-            "distance", "cell_index", "tiles_z12", "bbox_extent", "ref_dedup",
-            "action_counts", "dedup_exact", "tpch_q1",
-            "top_customers", "candidate_pairs", "tag_merge", "zorder_key",
-            "geohash", "url_normalize",
+            "distance", "gc_distance", "way_length", "cell_index", "tiles_z12",
+            "bbox_extent", "ref_dedup", "action_counts", "dedup_exact",
+            "tpch_q1", "top_customers", "candidate_pairs", "tag_merge",
+            "zorder_key", "geohash", "url_normalize",
         ]
     }
     out["dedup_norm"] = _dedup_norm_sql("duck")
@@ -1731,9 +1801,16 @@ def oracle_sql() -> dict[str, str]:
     out["domain_stats_psl"] = _domain_stats_psl_oracle_duck()
     out["pii_scrub"] = _pii_scrub_sql("duck")
     out["contamination"] = _CONTAMINATION_DUCK
-    from osm_conflate_spark.operators.search import bm25_topk_duck_sql
+    from osm_conflate_spark.operators.search import (
+        bm25_topk_duck_sql,
+        tfidf_top_terms_duck_sql,
+    )
 
     out["bm25_topk"] = bm25_topk_duck_sql(_BM25_TERMS, k=25)
+    out["tfidf_terms"] = tfidf_top_terms_duck_sql(k=5)
+    from osm_conflate_spark.operators.repetition import segment_dedup_duck_sql
+
+    out["segment_dedup"] = segment_dedup_duck_sql(seg_len=8)
     out["asof_join"] = _ASOF_DUCK
     out["asof_tolerance"] = _ASOF_TOL_DUCK
     out["interval_join"] = _INTERVAL_DUCK

@@ -292,6 +292,9 @@ HEADLINE_QUERIES = [
     # normalization (pagerank is the headline's only multi-job query —
     # it times the engine's iterative story, not one scan)
     "pagerank", "geohash", "url_normalize",
+    # round 5c: great-circle distance/bearing, per-language tf-idf
+    # terms, per-way polyline length, duplicated-span removal
+    "gc_distance", "tfidf_terms", "way_length", "segment_dedup",
 ]
 
 

@@ -43,6 +43,48 @@ def distance_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     )
 
 
+# Mean earth radius (IUGG R1) for great-circle math; the reference's
+# equirectangular distance keeps the equatorial radius above — the two
+# constants intentionally differ (SURVEY §2.3 note on small-distance
+# error bounds).
+EARTH_R_MEAN = 6371008.8
+
+
+def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Great-circle distance in meters (haversine formula).
+
+    Complements the reference's equirectangular ``distance_sql``: exact
+    on the sphere at ANY separation (the equirectangular form degrades
+    past ~1 deg and breaks across the antimeridian), so this is the
+    right expression for extent diagnostics / long-range joins while
+    X1 stays bit-compatible for the matcher.  ``least(1, .)`` guards
+    the asin domain against rounding at antipodal points.  Portable
+    same-text: radians/sin/cos/asin/sqrt/pow/least are IEEE-aligned in
+    Spark and DuckDB.
+    """
+    half_dlat = f"{dlit(0.5)} * radians(({lat2}) - ({lat1}))"
+    half_dlon = f"{dlit(0.5)} * radians(({lon2}) - ({lon1}))"
+    a = (
+        f"pow(sin({half_dlat}), 2)"
+        f" + cos(radians({lat1})) * cos(radians({lat2})) * pow(sin({half_dlon}), 2)"
+    )
+    return f"{dlit(2.0)} * {dlit(EARTH_R_MEAN)} * asin(sqrt(least({dlit(1.0)}, {a})))"
+
+
+def bearing_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Initial great-circle bearing from point 1 to point 2, degrees
+    clockwise from north in [0, 360).  ``% 360`` on DOUBLE is fmod in
+    both engines; the ``+ 360`` shift maps atan2's [-180, 180] output
+    into the non-negative range first so the mod is engine-agnostic."""
+    dlon = f"radians(({lon2}) - ({lon1}))"
+    y = f"sin({dlon}) * cos(radians({lat2}))"
+    x = (
+        f"cos(radians({lat1})) * sin(radians({lat2}))"
+        f" - sin(radians({lat1})) * cos(radians({lat2})) * cos({dlon})"
+    )
+    return f"(degrees(atan2({y}, {x})) + {dlit(360.0)}) % {dlit(360.0)}"
+
+
 # ---------------------------------------------------------------------------
 # Cell grid (S1): equirectangular grid, band height = cell_m meters,
 # per-band column count chosen so column width >= cell_m meters everywhere

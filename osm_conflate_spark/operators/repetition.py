@@ -210,3 +210,129 @@ def dup_shingle_stats(
             ),
         )
     )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    seg_len: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-span REMOVAL with document reassembly — the
+    destructive counterpart of :func:`dup_shingle_stats` (which only
+    measures).  Documents are cut into consecutive ``seg_len``-token
+    segments; every segment whose exact text occurred earlier in the
+    corpus (first occurrence = smallest ``(doc_id, seg_pos)``) is
+    dropped, and each document is rebuilt from its surviving segments
+    in order.  This is segment-granular exact-substring dedup (the
+    Lee-et-al "deduplicating training data" transform, reconstructed
+    from the published description — suffix-array substring matching
+    relaxed to fixed tiles so it stays a pure shuffle plan).
+
+    Returns ``doc_id, n_segs, n_kept, dedup_text`` (docs with zero
+    tokens are dropped — no segments exist to keep).
+
+    Plan (100 TB shape):
+
+    1. segments are built INSIDE codegen — ``split`` -> ``transform``
+       over a ``sequence`` of tile indices -> ``slice``/``array_join``
+       — so tokens are never exploded; the scan emits one row per
+       SEGMENT (corpus volume / seg_len is the widest row count ever
+       shuffled);
+    2. first-occurrence election is one ``row_number`` window
+       partitioned by segment text (at real corpus scale, partition by
+       ``xxhash64(seg_text)`` to shrink shuffle keys; kept as the
+       string here so the DuckDB twin replays bit-identically).  Viral
+       boilerplate segments skew their partition by
+       docs-containing-the-segment; the same broadcast heavy-hitter
+       escape as ``dup_shingle_stats(hot_threshold=...)`` applies
+       verbatim if that bounds ever bites;
+    3. reassembly is one groupBy(doc_id) whose input is already the
+       FILTERED (post-dedup) segment set — shuffle volume is the
+       surviving text, not the corpus.
+
+    Two shuffles total, zero joins; everything between is
+    whole-stage-codegen Column expressions.
+    """
+    from pyspark.sql.window import Window
+
+    if seg_len < 1:
+        raise ValueError(f"seg_len must be >= 1, got {seg_len}")
+    tk = f"filter(split(lower({text_col}), ' '), x -> x != '')"
+    segs = (
+        f"transform(sequence(0, CAST(ceil(size({tk}) / {seg_len}.0E0) AS INT) - 1), "
+        f"i -> array_join(slice({tk}, i * {seg_len} + 1, {seg_len}), ' '))"
+    )
+    seg_rows = (
+        docs.where(F.expr(f"size({tk}) > 0"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(segs).alias("__segs"),
+        )
+        .select(
+            "doc_id",
+            F.size("__segs").cast("long").alias("n_segs"),
+            F.posexplode("__segs").alias("seg_pos", "seg_text"),
+        )
+    )
+    w = Window.partitionBy("seg_text").orderBy("doc_id", "seg_pos")
+    kept = (
+        seg_rows.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.max("n_segs").alias("n_segs"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seg_pos", "seg_text"))),
+                    lambda s: s.seg_text,
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+        .select("doc_id", "n_segs", "n_kept", "dedup_text")
+    )
+
+
+def segment_dedup_duck_sql(
+    seg_len: int = 8,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of :func:`segment_dedup` — same tokenization,
+    same tiling (1-based inclusive list slice == Spark's
+    ``slice(arr, start, length)``), same first-occurrence order."""
+    return f"""
+WITH toks AS (
+    SELECT {id_col} AS doc_id,
+           list_filter(string_split(lower({text_col}), ' '), x -> x != '') AS tk
+    FROM {table}
+),
+segs AS (
+    SELECT doc_id,
+           CAST(ceil(len(tk) / {seg_len}.0) AS BIGINT) AS n_segs,
+           i AS seg_pos,
+           array_to_string(tk[(i * {seg_len} + 1):(i * {seg_len} + {seg_len})], ' ')
+               AS seg_text
+    FROM toks, unnest(range(0, CAST(ceil(len(tk) / {seg_len}.0) AS BIGINT))) AS t(i)
+    WHERE len(tk) > 0
+),
+kept AS (
+    SELECT doc_id, n_segs, seg_pos, seg_text,
+           row_number() OVER (PARTITION BY seg_text
+                              ORDER BY doc_id, seg_pos) AS rn
+    FROM segs
+)
+SELECT doc_id,
+       max(n_segs) AS n_segs,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       string_agg(seg_text, ' ' ORDER BY seg_pos) AS dedup_text
+FROM kept
+WHERE rn = 1
+GROUP BY doc_id
+"""

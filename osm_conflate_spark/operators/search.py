@@ -98,6 +98,117 @@ def bm25_topk(
     )
 
 
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` terms per ``group_col`` by summed corpus tf-idf
+    (sklearn's smoothed idf: ``ln((1+N)/(1+df)) + 1``) — the standard
+    "what characterizes this slice of the corpus" report for a crawl.
+
+    Plan (one corpus scan):
+
+    1. tokenize + explode once, then groupBy (group, doc, term) count —
+       map-side combining absorbs in-document repetition before the
+       only wide shuffle;
+    2. the per-doc table serves BOTH aggregates: df(term) is a plain
+       count per term (rows are already distinct doc-term pairs — no
+       countDistinct shuffle), tf(group, term) sums the counts;
+    3. N is a 1-row aggregate of the raw table; it and df join back as
+       broadcasts, so the scored table never reshuffles;
+    4. per-group top-k via rank window → WindowGroupLimit pushes the
+       cut map-side (same plan shape as sampling.lang_sample).
+
+    At 100 TB the df table is |vocabulary| rows — fine to broadcast for
+    word-level vocab (~10M terms x 16B), but for shingle/ngram vocab
+    swap the broadcast hint for a shuffle join and add a min-df filter
+    (df >= 2 drops the hapax half of a web vocabulary).  Ties are
+    broken by ascending term so the cut is engine-deterministic.
+    """
+    per_doc = (
+        docs.select(
+            F.col(group_col).alias("__g"),
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.expr(f"filter(split(lower({text_col}), ' '), x -> x != '')")
+            ).alias("__term"),
+        )
+        .groupBy("__g", "__id", "__term")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    df_tbl = per_doc.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        per_doc.groupBy("__g", "__term")
+        .agg(F.sum("__c").alias("__tf"))
+        .join(F.broadcast(df_tbl), "__term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "__s",
+            F.round(
+                F.col("__tf")
+                * (F.log((1.0 + F.col("__n")) / (1.0 + F.col("__df"))) + 1.0),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    # rank on the ROUNDED score (as bm25_topk does) so a sub-1e-6 ulp
+    # difference between engines can never flip a tie at the k cut
+    w = Window.partitionBy("__g").orderBy(
+        F.col("__s").desc(), F.col("__term").asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__rk").alias("rk"),
+            F.col("__term").alias("term"),
+            F.col("__s").alias("tfidf"),
+        )
+    )
+
+
+def tfidf_top_terms_duck_sql(
+    k: int = 5,
+    table: str = "documents",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of :func:`tfidf_top_terms` — same tokenization,
+    same smoothed idf, same (score desc, term asc) tie-break."""
+    return f"""
+WITH per_doc AS (
+    SELECT {group_col} AS g, {id_col} AS id, t.term AS term, count(*) AS c
+    FROM {table},
+         unnest(list_filter(string_split(lower({text_col}), ' '),
+                            x -> x != '')) AS t(term)
+    GROUP BY g, id, t.term
+),
+df AS (SELECT term, count(*) AS df FROM per_doc GROUP BY term),
+n AS (SELECT count(*) AS n FROM {table}),
+scored AS (
+    SELECT per_doc.g, per_doc.term,
+           round(sum(per_doc.c) * (ln((1 + n.n) / (1.0 + df.df)) + 1), 6) AS s
+    FROM per_doc JOIN df USING (term) CROSS JOIN n
+    GROUP BY per_doc.g, per_doc.term, df.df, n.n
+),
+rk AS (
+    SELECT g, term, s,
+           row_number() OVER (PARTITION BY g ORDER BY s DESC, term ASC) AS rk
+    FROM scored
+)
+SELECT g AS {group_col}, rk, term, s AS tfidf
+FROM rk WHERE rk <= {k}
+"""
+
+
 def bm25_topk_duck_sql(
     query_terms: Sequence[str],
     k: int = 10,

@@ -1,0 +1,357 @@
+"""Round-5 widening, third batch:
+
+* haversine great-circle distance + initial bearing
+  (``functions/sqlgen.py``) against an independent numpy
+  implementation, plus known geodesy vectors (equator arc, pole run,
+  antimeridian crossing — exactly where the equirectangular X1
+  formula degrades);
+* per-group tf-idf top terms (``operators/search.py``) against a
+  hand-computed fixture and the DuckDB twin, with the
+  WindowGroupLimit plan assertion;
+* way/polyline length (portable-SQL registry entry) against an
+  independent numpy per-way fold, with the shared-partitioning
+  single-Exchange plan assertion;
+* segment_dedup (``operators/repetition.py``) — duplicated-span
+  removal + reassembly — against a hand fixture covering cross-doc,
+  in-doc, fully-duplicated and short-tail cases, the DuckDB twin,
+  and the no-join/two-shuffle plan assertion.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm_conflate_spark.functions.sqlgen import (
+    EARTH_R_MEAN,
+    bearing_sql,
+    haversine_sql,
+)
+from osm_conflate_spark.operators.search import (
+    tfidf_top_terms,
+    tfidf_top_terms_duck_sql,
+)
+
+
+# ---------------------------------------------------------------------------
+# haversine / bearing
+# ---------------------------------------------------------------------------
+
+def _haversine_np(lat1, lon1, lat2, lon2):
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    dphi = np.radians(lat2 - lat1) * 0.5
+    dlam = np.radians(lon2 - lon1) * 0.5
+    a = np.sin(dphi) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dlam) ** 2
+    return 2.0 * EARTH_R_MEAN * np.arcsin(np.sqrt(np.minimum(1.0, a)))
+
+
+def _bearing_np(lat1, lon1, lat2, lon2):
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    dlam = np.radians(lon2 - lon1)
+    y = np.sin(dlam) * np.cos(p2)
+    x = np.cos(p1) * np.sin(p2) - np.sin(p1) * np.cos(p2) * np.cos(dlam)
+    return (np.degrees(np.arctan2(y, x)) + 360.0) % 360.0
+
+
+def test_haversine_matches_numpy_random(spark):
+    rng = np.random.default_rng(7)
+    lat1 = rng.uniform(-85, 85, 200)
+    lon1 = rng.uniform(-180, 180, 200)
+    lat2 = rng.uniform(-85, 85, 200)
+    lon2 = rng.uniform(-180, 180, 200)
+    rows = [
+        (float(a), float(b), float(c), float(d))
+        for a, b, c, d in zip(lat1, lon1, lat2, lon2)
+    ]
+    df = spark.createDataFrame(
+        rows, "lat1 double, lon1 double, lat2 double, lon2 double"
+    )
+    got = (
+        df.select(
+            F.expr(haversine_sql("lat1", "lon1", "lat2", "lon2")).alias("d"),
+            F.expr(bearing_sql("lat1", "lon1", "lat2", "lon2")).alias("b"),
+        )
+        .toPandas()
+    )
+    want_d = _haversine_np(lat1, lon1, lat2, lon2)
+    want_b = _bearing_np(lat1, lon1, lat2, lon2)
+    np.testing.assert_allclose(got["d"].to_numpy(), want_d, rtol=1e-12)
+    np.testing.assert_allclose(got["b"].to_numpy(), want_b, rtol=1e-9, atol=1e-9)
+
+
+def test_haversine_known_vectors(spark):
+    """Geodesy ground truths on the sphere: a degree of arc anywhere
+    is R * pi/180 meters; bearing due east along the equator is 90;
+    the antimeridian crossing is SHORT (the equirectangular X1 formula
+    would report the ~358-degree long way around)."""
+    cases = [
+        # equator, 1 deg east: exact arc, bearing 90
+        (0.0, 0.0, 0.0, 1.0, EARTH_R_MEAN * math.pi / 180.0, 90.0),
+        # meridian, 1 deg north: same arc length, bearing 0
+        (10.0, 20.0, 11.0, 20.0, EARTH_R_MEAN * math.pi / 180.0, 0.0),
+        # antimeridian crossing: 2 deg of arc, not 358
+        (0.0, 179.0, 0.0, -179.0, EARTH_R_MEAN * math.pi / 90.0, 90.0),
+        # antipodal: half circumference (asin guard territory)
+        (0.0, 0.0, 0.0, 180.0, EARTH_R_MEAN * math.pi, 90.0),
+        # coincident points: zero distance
+        (45.0, 45.0, 45.0, 45.0, 0.0, 0.0),
+    ]
+    df = spark.createDataFrame(
+        [c[:4] for c in cases],
+        "lat1 double, lon1 double, lat2 double, lon2 double",
+    )
+    got = df.select(
+        F.expr(haversine_sql("lat1", "lon1", "lat2", "lon2")).alias("d"),
+        F.expr(bearing_sql("lat1", "lon1", "lat2", "lon2")).alias("b"),
+    ).collect()
+    for (r, (_, _, _, _, want_d, want_b)) in zip(got, cases):
+        assert r["d"] == pytest.approx(want_d, rel=1e-9, abs=1e-6)
+        assert r["b"] == pytest.approx(want_b, abs=1e-9)
+
+
+def test_haversine_duckdb_same_text(spark):
+    """The SAME template string runs in DuckDB and agrees to the last
+    printed digit — the portability contract the driver's value-hash
+    relies on."""
+    import duckdb
+
+    expr_d = haversine_sql("37.5E0", "-122.3E0", "48.8E0", "2.3E0")
+    expr_b = bearing_sql("37.5E0", "-122.3E0", "48.8E0", "2.3E0")
+    s = spark.sql(f"SELECT {expr_d} AS d, {expr_b} AS b").collect()[0]
+    k = duckdb.sql(f"SELECT {expr_d} AS d, {expr_b} AS b").fetchone()
+    assert f"{s['d']:.9g}" == f"{k[0]:.9g}"
+    assert f"{s['b']:.9g}" == f"{k[1]:.9g}"
+
+
+# ---------------------------------------------------------------------------
+# tf-idf top terms
+# ---------------------------------------------------------------------------
+
+_TFIDF_DOCS = [
+    # en: "spark" in every en doc (low idf), "catalyst" in one (high)
+    (0, "spark spark catalyst", "en"),
+    (1, "spark shuffle", "en"),
+    (2, "spark broadcast broadcast", "en"),
+    # fr: one doc, every term unique to it
+    (3, "moteur moteur requete", "fr"),
+]
+
+
+def _tfidf_np():
+    """Independent dense computation of the fixture's expected table."""
+    n = len(_TFIDF_DOCS)
+    df_counts: dict[str, int] = {}
+    tf: dict[tuple[str, str], int] = {}
+    for _, text, lang in _TFIDF_DOCS:
+        toks = [t for t in text.lower().split(" ") if t]
+        for t in set(toks):
+            df_counts[t] = df_counts.get(t, 0) + 1
+        for t in toks:
+            tf[(lang, t)] = tf.get((lang, t), 0) + 1
+    out = {}
+    for (lang, t), c in tf.items():
+        out[(lang, t)] = round(
+            c * (math.log((1 + n) / (1.0 + df_counts[t])) + 1), 6
+        )
+    return out
+
+
+def test_tfidf_matches_hand_fixture(spark):
+    docs = spark.createDataFrame(
+        _TFIDF_DOCS, "doc_id long, text string, lang string"
+    )
+    got = {
+        (r["lang"], r["term"]): r["tfidf"]
+        for r in tfidf_top_terms(docs, k=10).collect()
+    }
+    assert got == _tfidf_np()
+    ranked = {
+        (r["lang"], r["rk"]): r["term"]
+        for r in tfidf_top_terms(docs, k=10).collect()
+    }
+    # corpus-wide tf dominates here: "spark" (tf=4, idf ln(5/4)+1 ->
+    # 4.89) outranks the rarer "broadcast" (tf=2, idf ln(5/2)+1 -> 3.83)
+    assert ranked[("en", 1)] == "spark"
+    assert ranked[("en", 2)] == "broadcast"
+    # exact-score tie ("catalyst"/"shuffle": tf=1, df=1) breaks by
+    # ascending term — the engine-deterministic cut contract
+    assert ranked[("en", 3)] == "catalyst"
+    assert ranked[("en", 4)] == "shuffle"
+
+
+def test_tfidf_duck_twin_identical(spark):
+    import duckdb
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(_TFIDF_DOCS, columns=["doc_id", "text", "lang"])
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    duck = {
+        (r[0], r[1], r[2]): r[3]
+        for r in con.execute(tfidf_top_terms_duck_sql(k=10)).fetchall()
+    }
+    docs = spark.createDataFrame(_TFIDF_DOCS, "doc_id long, text string, lang string")
+    got = {
+        (r["lang"], r["rk"], r["term"]): r["tfidf"]
+        for r in tfidf_top_terms(docs, k=10).collect()
+    }
+    assert got == duck
+
+
+def test_tfidf_topk_cut_and_plan(spark):
+    docs = spark.createDataFrame(
+        _TFIDF_DOCS, "doc_id long, text string, lang string"
+    )
+    out = tfidf_top_terms(docs, k=1)
+    rows = out.collect()
+    assert sorted(r["lang"] for r in rows) == ["en", "fr"]
+    assert all(r["rk"] == 1 for r in rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the per-group cut must push map-side, same contract as lang_sample
+    assert "WindowGroupLimit" in plan
+
+
+# ---------------------------------------------------------------------------
+# way_length (portable SQL registry entry)
+# ---------------------------------------------------------------------------
+
+def test_way_length_numpy_oracle(spark):
+    """The registry's way_length SQL vs an independent numpy fold over
+    the same derived points: per-way leg sum (legs rounded to 6 then
+    summed, like the SQL) and first->last chord."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    em._register(spark, sf)
+    pts = spark.sql(em._DS_PTS).toPandas().sort_values("k")
+    got = {
+        r["way_id"]: (r["n_points"], r["length_m"], r["chord_m"])
+        for r in spark.sql(em._portable("way_length")).collect()
+    }
+    k = pts["k"].to_numpy()
+    lat = pts["lat"].to_numpy()
+    lon = pts["lon"].to_numpy()
+    way = np.floor(k / 20.0).astype(np.int64)
+    want = {}
+    for wid in np.unique(way):
+        m = way == wid
+        la, lo = lat[m], lon[m]
+        legs = np.round(_haversine_np(la[:-1], lo[:-1], la[1:], lo[1:]), 6)
+        chord = _haversine_np(la[0], lo[0], la[-1], lo[-1])
+        want[int(wid)] = (
+            int(m.sum()),
+            round(float(legs.sum()), 3),
+            round(float(chord), 3),
+        )
+    assert set(got) == set(want)
+    for wid, (n, ln, ch) in want.items():
+        gn, gl, gc = got[wid]
+        assert gn == n
+        assert gl == pytest.approx(ln, abs=2e-3)
+        assert gc == pytest.approx(ch, abs=2e-3)
+
+
+def test_way_length_single_exchange(spark):
+    """lag() window and the groupBy both key on way_id — Catalyst must
+    reuse the window's hash partitioning for the aggregate (ONE
+    Exchange in the plan, not two)."""
+    import __spark_entry__ as em
+
+    em._register(spark, "/root/testdata/sf0.001")
+    plan = (
+        spark.sql(em._portable("way_length"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# segment_dedup
+# ---------------------------------------------------------------------------
+
+_SEG_DOCS = [
+    # doc 0 defines two segments (seg_len=3 in tests): "a b c", "d e f"
+    (0, "a b c d e f"),
+    # doc 1 repeats doc 0's first segment then adds its own
+    (1, "a b c x y z"),
+    # doc 2 is entirely doc 0 -> fully removed (zero kept -> dropped)
+    (2, "a b c d e f"),
+    # doc 3: tail segment is short ("q r") and unique; middle repeats
+    (3, "x y z p p q r"),
+    # doc 4: empty after tokenization -> dropped
+    (4, "   "),
+    # doc 5: within-doc repeat — second "m n o" tile is a duplicate
+    # of the FIRST tile of the same doc and must also be removed
+    (5, "m n o m n o w"),
+]
+
+
+def test_segment_dedup_semantics(spark):
+    from osm_conflate_spark.operators.repetition import segment_dedup
+
+    docs = spark.createDataFrame(_SEG_DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_segs"], r["n_kept"], r["dedup_text"])
+        for r in segment_dedup(docs, seg_len=3).collect()
+    }
+    assert got == {
+        0: (2, 2, "a b c d e f"),
+        1: (2, 1, "x y z"),
+        3: (3, 2, "p p q r"),  # "x y z" removed (doc 1 owns it), tail kept
+        5: (3, 2, "m n o w"),  # in-doc duplicate tile removed
+    }
+    # docs 2 (fully duplicated) and 4 (no tokens) are absent
+    assert 2 not in got and 4 not in got
+
+
+def test_segment_dedup_duck_twin(spark):
+    import duckdb
+    import pandas as pd
+
+    from osm_conflate_spark.operators.repetition import (
+        segment_dedup,
+        segment_dedup_duck_sql,
+    )
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(_SEG_DOCS, columns=["doc_id", "text"])
+    )
+    duck = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(segment_dedup_duck_sql(seg_len=3)).fetchall()
+    }
+    docs = spark.createDataFrame(_SEG_DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_segs"], r["n_kept"], r["dedup_text"])
+        for r in segment_dedup(docs, seg_len=3).collect()
+    }
+    assert got == duck
+
+
+def test_segment_dedup_no_join_plan(spark):
+    from osm_conflate_spark.operators.repetition import segment_dedup
+
+    docs = spark.createDataFrame(_SEG_DOCS, "doc_id long, text string")
+    plan = (
+        segment_dedup(docs, seg_len=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # two shuffles (seg_text window, doc_id reassembly), zero joins,
+    # and no Generate over raw tokens — segments are built in codegen
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_segment_dedup_validates_seg_len(spark):
+    from osm_conflate_spark.operators.repetition import segment_dedup
+
+    docs = spark.createDataFrame(_SEG_DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError):
+        segment_dedup(docs, seg_len=0)
