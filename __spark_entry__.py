@@ -249,6 +249,45 @@ def _portable(name: str) -> str:
             FROM events_src
             GROUP BY 1, 2
         """,
+        # Hopping (sliding) window rollup: 1h span advancing every
+        # 15min — the batch twin of a Structured Streaming
+        # window(ts, '1 hour', '15 minutes') aggregate.  Each event
+        # lands in exactly span/hop = 4 windows; membership is
+        # enumerated with a 4-row constant relation (broadcast, rows
+        # multiply MAP-SIDE) and the window start is pure BIGINT
+        # arithmetic (us - us % hop - i*hop) so both engines bin
+        # identically — no float division near bucket edges.  One
+        # map-side-combining shuffle on (win_start, event_type).
+        "hopping_counts": """
+            WITH e AS (
+                SELECT CAST(ts_epoch_expr AS BIGINT) AS us, event_type, value
+                FROM events
+            ),
+            hops AS (SELECT CAST(0 AS BIGINT) AS i UNION ALL SELECT 1
+                     UNION ALL SELECT 2 UNION ALL SELECT 3)
+            SELECT (e.us - (e.us % 900000000) - hops.i * 900000000)
+                       AS win_start_us,
+                   e.event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(e.value), 6) AS total
+            FROM e CROSS JOIN hops
+            GROUP BY 1, 2
+        """,
+        # Per-key rolling window stats (time-series feature gen): for
+        # every event, aggregates over the trailing 10 rows of the same
+        # user ordered by (ts, event_id) — the frame is deterministic
+        # because event_id is unique within ties.  ONE shuffle on
+        # user_id; the ROWS frame is a bounded sliding buffer in both
+        # engines (no whole-partition materialization per row).
+        "rolling_stats": """
+            SELECT user_id, event_id,
+                   CAST(count(*) OVER w AS BIGINT) AS n_win,
+                   round(avg(value) OVER w, 6) AS avg10,
+                   round(max(value) OVER w, 6) AS max10
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        """,
         # TPC-H Q1-style pricing summary (general analytics capability)
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
@@ -447,7 +486,7 @@ def _sql_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
             sql = sql.replace("epoch_expr", "CAST(date_trunc('hour', ts) AS LONG)").replace(
                 "events_src", "events"
             )
-        if name == "latest_by_key":
+        if name in ("latest_by_key", "hopping_counts"):
             sql = sql.replace("ts_epoch_expr", "unix_micros(CAST(ts AS TIMESTAMP))")
         return spark.sql(sql)
 
@@ -1676,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bbox_extent", "ref_dedup", "action_counts", "dedup_exact",
             "token_stats", "events_hourly", "tpch_q1", "top_customers",
             "zorder_key", "geohash", "latest_by_key", "url_normalize",
+            "hopping_counts", "rolling_stats",
         ]
     }
     q.update(
@@ -1748,6 +1788,10 @@ def oracle_sql() -> dict[str, str]:
     out["latest_by_key"] = _portable("latest_by_key").replace(
         "ts_epoch_expr", "epoch_us(ts)"
     )
+    out["hopping_counts"] = _portable("hopping_counts").replace(
+        "ts_epoch_expr", "epoch_us(ts)"
+    )
+    out["rolling_stats"] = _portable("rolling_stats")
     out["tag_filter"] = _TAG_FILTER_DUCK
     out["token_stats"] = (
         _portable("token_stats")

@@ -295,6 +295,8 @@ HEADLINE_QUERIES = [
     # round 5c: great-circle distance/bearing, per-language tf-idf
     # terms, per-way polyline length, duplicated-span removal
     "gc_distance", "tfidf_terms", "way_length", "segment_dedup",
+    # round 5c: time-series rollups (hopping window, trailing frame)
+    "hopping_counts", "rolling_stats",
 ]
 
 

@@ -355,3 +355,101 @@ def test_segment_dedup_validates_seg_len(spark):
     docs = spark.createDataFrame(_SEG_DOCS, "doc_id long, text string")
     with pytest.raises(ValueError):
         segment_dedup(docs, seg_len=0)
+
+
+# ---------------------------------------------------------------------------
+# hopping window rollup + rolling per-key stats (portable registry SQL)
+# ---------------------------------------------------------------------------
+
+def test_hopping_counts_semantics_and_duck(spark):
+    """Hopping 1h/15min rollup vs (a) a pandas brute force enumerating
+    every window each event belongs to, (b) the DuckDB oracle text."""
+    import duckdb
+
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    em._register(spark, sf)
+    got = {
+        (r["win_start_us"], r["event_type"]): (r["n"], r["total"])
+        for r in spark.sql(
+            em._portable("hopping_counts").replace(
+                "ts_epoch_expr", "unix_micros(CAST(ts AS TIMESTAMP))"
+            )
+        ).collect()
+    }
+    ev = duckdb.sql(
+        f"SELECT epoch_us(ts) AS us, event_type, value "
+        f"FROM '{sf}/events.parquet'"
+    ).df()
+    hop, span = 900_000_000, 3_600_000_000
+    want: dict = {}
+    for us, et, v in ev.itertuples(index=False):
+        base = int(us) - int(us) % hop
+        for i in range(4):
+            ws = base - i * hop
+            # brute-force membership: event in [ws, ws + span)
+            assert ws <= us < ws + span
+            n, t = want.get((ws, et), (0, 0.0))
+            want[(ws, et)] = (n + 1, t + v)
+    assert set(got) == set(want)
+    for key, (n, t) in want.items():
+        gn, gt = got[key]
+        assert gn == n
+        assert gt == pytest.approx(round(t, 6), abs=1e-5)
+    # DuckDB runs the oracle text over the same parquet
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'"
+    )
+    duck = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(em.oracle_sql()["hopping_counts"]).fetchall()
+    }
+    assert set(duck) == set(got)
+    for key in got:
+        assert got[key][0] == duck[key][0]
+        assert got[key][1] == pytest.approx(duck[key][1], abs=2e-6)
+
+
+def test_rolling_stats_semantics_and_plan(spark):
+    """Trailing-10-row per-user frame vs a pandas groupby.rolling
+    replay; the plan must shuffle ONCE (user_id) — the ROWS frame is a
+    sliding buffer, not a second Exchange."""
+    import duckdb
+
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    em._register(spark, sf)
+    out = spark.sql(em._portable("rolling_stats"))
+    got = {
+        (r["user_id"], r["event_id"]): (r["n_win"], r["avg10"], r["max10"])
+        for r in out.collect()
+    }
+    ev = (
+        duckdb.sql(
+            f"SELECT user_id, event_id, ts, value FROM '{sf}/events.parquet'"
+        )
+        .df()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    for uid, g in ev.groupby("user_id"):
+        vals = g["value"].to_numpy()
+        ids = g["event_id"].to_numpy()
+        for j in range(len(vals)):
+            lo = max(0, j - 9)
+            win = vals[lo : j + 1]
+            n, a, m = got[(uid, ids[j])]
+            assert n == len(win)
+            assert a == pytest.approx(round(float(win.mean()), 6), abs=2e-6)
+            assert m == pytest.approx(round(float(win.max()), 6), abs=2e-6)
+    # AQE's toString appends the pre-adaptive "Initial Plan" — count
+    # Exchanges only in the final executed section
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
