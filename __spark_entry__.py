@@ -1187,6 +1187,19 @@ FROM t
 """
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language weighted sample without replacement (50 docs,
+    probability ∝ n_chars): hash-derandomized Efraimidis–Spirakis
+    keys, map-side WindowGroupLimit cut — see
+    operators/sampling.py::weighted_sample."""
+    from osm_conflate_spark.operators.sampling import weighted_sample
+
+    _register(spark, sf_dir)
+    return weighted_sample(
+        spark.table("documents"), "lang", "doc_id", "n_chars", n=50
+    )
+
+
 def _q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-length distribution (exact p50/p90/p99 +
     mean): the corpus-health rollup.  Spark's exact ``percentile`` is
@@ -1757,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pii_scrub=_q_pii_scrub,
         contamination=_q_contamination,
         lang_sample=_q_lang_sample,
+        weighted_sample=_q_weighted_sample,
         pack_chunks=_q_pack_chunks,
         token_percentiles=_q_token_percentiles,
         # round-5 widening: temporal joins Spark lacks as built-ins
@@ -1861,6 +1875,11 @@ def oracle_sql() -> dict[str, str]:
     out["pagerank"] = _pagerank_oracle_duck()
     out["train_split"] = _train_split_oracle_duck()
     out["lang_sample"] = _lang_sample_oracle_duck()
+    from osm_conflate_spark.operators.sampling import weighted_sample_duck_sql
+
+    out["weighted_sample"] = weighted_sample_duck_sql(
+        "documents", "lang", "doc_id", "n_chars", n=50
+    )
     out["pack_chunks"] = _pack_chunks_oracle_duck()
     out["token_percentiles"] = _token_percentiles_oracle_duck()
     return out

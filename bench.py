@@ -296,7 +296,8 @@ HEADLINE_QUERIES = [
     # terms, per-way polyline length, duplicated-span removal
     "gc_distance", "tfidf_terms", "way_length", "segment_dedup",
     # round 5c: time-series rollups (hopping window, trailing frame)
-    "hopping_counts", "rolling_stats",
+    # + derandomized weighted sampling
+    "hopping_counts", "rolling_stats", "weighted_sample",
 ]
 
 

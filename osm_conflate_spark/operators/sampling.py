@@ -119,3 +119,69 @@ def split_assign_sql(id_expr: str, fractions: dict[str, float],
         cum += fractions[name]
         arms.append(f"WHEN {key} < {int(cum * (1 << 60))} THEN '{name}'")
     return "CASE " + " ".join(arms) + f" ELSE '{names[-1]}' END"
+
+
+def es_key_sql(id_expr: str, weight_expr: str, engine: str) -> str:
+    """Portable Efraimidis–Spirakis sort key in log space:
+    ``ln(u) / w`` with ``u = (hash60(id)+1) / (2^60+1)`` in (0, 1) —
+    deterministic, seedless, engine-identical u.  Selecting the k
+    LARGEST keys per group samples k rows without replacement with
+    probability proportional to ``w`` (Efraimidis & Spirakis 2006,
+    "Weighted random sampling with a reservoir" — the published
+    one-pass algorithm; the hash replaces the RNG so reruns and
+    engines agree).  The key is ROUNDED to 12 decimals so a last-ulp
+    ``ln`` difference between the JVM and C libm can never flip the
+    order at the k cut; ties break on the id downstream.
+    """
+    u_hash = hash60_sql(f"({id_expr} || '')", engine)
+    u = f"(({u_hash} + 1.0E0) / 1152921504606846977.0E0)"
+    return f"round(ln({u}) / ({weight_expr}), 12)"
+
+
+def weighted_sample(
+    df: DataFrame, group_col: str, id_col: str, weight_col: str, n: int
+) -> DataFrame:
+    """``n`` rows per group, sampled WITHOUT replacement with
+    probability proportional to ``weight_col`` — the training-mix
+    primitive ("oversample high-quality / long documents at fixed
+    per-language quotas") — deterministic across engines and reruns.
+
+    Same 100 TB shape as :func:`deterministic_sample`: one shuffle on
+    the group key, and the ``row_number() <= n`` filter is rewritten
+    by Spark into a map-side WindowGroupLimit partial top-k, so a
+    skewed group never materializes more than n·parts rows.  Rows with
+    non-positive weight are excluded (zero weight = zero selection
+    probability; the log-space key is undefined there).
+    """
+    key = es_key_sql(id_col, weight_col, "spark")
+    w = Window.partitionBy(group_col).orderBy(
+        F.expr(key).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("es_key", F.expr(key))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n)
+        .select(id_col, group_col, "rn", "es_key")
+    )
+
+
+def weighted_sample_duck_sql(
+    table: str, group_col: str, id_col: str, weight_col: str, n: int
+) -> str:
+    """DuckDB replay of :func:`weighted_sample` — same hash-u, same
+    rounded log-space key, same (key desc, id asc) order."""
+    key = es_key_sql(id_col, weight_col, "duck")
+    return f"""
+WITH scored AS (
+    SELECT {id_col}, {group_col}, {key} AS es_key
+    FROM {table} WHERE {weight_col} > 0
+),
+rk AS (
+    SELECT *, row_number() OVER (PARTITION BY {group_col}
+                                 ORDER BY es_key DESC, {id_col} ASC) AS rn
+    FROM scored
+)
+SELECT {id_col}, {group_col}, CAST(rn AS INT) AS rn, es_key
+FROM rk WHERE rn <= {n}
+"""

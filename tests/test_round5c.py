@@ -453,3 +453,65 @@ def test_rolling_stats_semantics_and_plan(spark):
         .split("== Initial Plan ==")[0]
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis–Spirakis, hash-u)
+# ---------------------------------------------------------------------------
+
+def test_weighted_sample_duck_twin(spark):
+    """Spark and DuckDB produce the IDENTICAL sample (ids, ranks,
+    rounded keys) on the sf0.001 documents table."""
+    import duckdb
+
+    from osm_conflate_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_duck_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = {
+        (r["lang"], r["rn"]): (r["doc_id"], r["es_key"])
+        for r in weighted_sample(docs, "lang", "doc_id", "n_chars", 20).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    duck = {
+        (r[1], r[2]): (r[0], r[3])
+        for r in con.execute(
+            weighted_sample_duck_sql("documents", "lang", "doc_id", "n_chars", 20)
+        ).fetchall()
+    }
+    assert got == duck
+
+
+def test_weighted_sample_weight_dominance(spark):
+    """Probability ∝ weight: five docs carrying ~10^9× the weight of
+    the other 95 must all be selected at n=5 (their log-space keys are
+    ≥ -2.1e-8 while a light doc needs u > 1 - 2e-8 to compete — and
+    the hash-u outcome is deterministic, so this is a fixed fact of
+    the fixture, not a flaky probabilistic assertion)."""
+    from osm_conflate_spark.operators.sampling import weighted_sample
+
+    rows = [(i, "g", 1_000_000_000 if i < 5 else 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+    picked = {
+        r["doc_id"]
+        for r in weighted_sample(df, "lang", "doc_id", "w", 5).collect()
+    }
+    assert picked == {0, 1, 2, 3, 4}
+
+
+def test_weighted_sample_drops_nonpositive_and_plan(spark):
+    from osm_conflate_spark.operators.sampling import weighted_sample
+
+    rows = [(1, "g", 0), (2, "g", -3), (3, "g", 10), (4, "g", 10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+    out = weighted_sample(df, "lang", "doc_id", "w", 10)
+    assert {r["doc_id"] for r in out.collect()} == {3, 4}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # same map-side top-k contract as deterministic_sample
+    assert "WindowGroupLimit" in plan
