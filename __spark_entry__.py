@@ -1594,6 +1594,17 @@ def _q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(spark.table("documents"), k=5)
 
 
+def _q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean token surprisal under a corpus-estimated unigram
+    LM (the SQL core of CCNet perplexity filtering) — single-scan
+    shape, vocab + total broadcast back; see
+    operators/search.py::unigram_surprisal."""
+    from osm_conflate_spark.operators.search import unigram_surprisal
+
+    _register(spark, sf_dir)
+    return unigram_surprisal(spark.table("documents"))
+
+
 def _q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-span removal + reassembly (Lee-et-al exact
     -substring dedup at 8-token tile granularity): segments built in
@@ -1778,6 +1789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bm25_topk=_q_bm25_topk,
         tfidf_terms=_q_tfidf_terms,
         segment_dedup=_q_segment_dedup,
+        unigram_surprisal=_q_unigram_surprisal,
         asof_tolerance=_q_asof_tolerance,
         interval_join=_q_interval_join,
         # round-5 widening: link-graph ranking + corpus-split plumbing
@@ -1866,6 +1878,9 @@ def oracle_sql() -> dict[str, str]:
 
     out["bm25_topk"] = bm25_topk_duck_sql(_BM25_TERMS, k=25)
     out["tfidf_terms"] = tfidf_top_terms_duck_sql(k=5)
+    from osm_conflate_spark.operators.search import unigram_surprisal_duck_sql
+
+    out["unigram_surprisal"] = unigram_surprisal_duck_sql()
     from osm_conflate_spark.operators.repetition import segment_dedup_duck_sql
 
     out["segment_dedup"] = segment_dedup_duck_sql(seg_len=8)

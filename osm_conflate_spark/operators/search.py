@@ -246,3 +246,80 @@ GROUP BY tf.id
 ORDER BY score DESC, tf.id ASC
 LIMIT {k}
 """
+
+
+def unigram_surprisal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean token surprisal (nats/token) under a unigram
+    LM estimated from the corpus itself — the SQL-expressible core of
+    CCNet-style perplexity filtering (there KenLM 5-gram; here the
+    unigram cross-entropy, which already separates boilerplate /
+    common-token text (low) from rare-token text (high) and is exactly
+    replayable by the DuckDB oracle).
+
+    ``surprisal(d) = sum_t tf(d,t) * -ln(c(t)/T) / len(d)`` with
+    ``c(t)`` corpus counts and ``T`` total tokens — by construction
+    every token has c(t) >= 1 so the log never sees zero.
+
+    Plan: same single-scan shape as :func:`tfidf_top_terms` — the
+    (doc, term, tf) table is aggregated once and serves BOTH the vocab
+    counts and the per-doc rollup; vocab and the 1-row total join back
+    as broadcasts; the final per-doc aggregation is the only other
+    shuffle.  At real corpus scale the vocab broadcast swaps for a
+    shuffle join exactly as documented on tfidf_top_terms.
+    """
+    per_doc = (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.expr(f"filter(split(lower({text_col}), ' '), x -> x != '')")
+            ).alias("__term"),
+        )
+        .groupBy("__id", "__term")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    vocab = per_doc.groupBy("__term").agg(F.sum("__c").alias("__ct"))
+    total = vocab.agg(F.sum("__ct").alias("__t"))
+    return (
+        per_doc.join(F.broadcast(vocab), "__term")
+        .join(F.broadcast(total))
+        .groupBy("__id")
+        .agg(
+            F.sum("__c").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("__c") * -F.log(F.col("__ct") / F.col("__t")))
+                / F.sum("__c"),
+                6,
+            ).alias("surprisal"),
+        )
+        .select(F.col("__id").alias(id_col), "n_tokens", "surprisal")
+    )
+
+
+def unigram_surprisal_duck_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of :func:`unigram_surprisal` — same tokenization,
+    same nats, same rounding."""
+    return f"""
+WITH per_doc AS (
+    SELECT {id_col} AS id, t.term AS term, count(*) AS c
+    FROM {table},
+         unnest(list_filter(string_split(lower({text_col}), ' '),
+                            x -> x != '')) AS t(term)
+    GROUP BY id, t.term
+),
+vocab AS (SELECT term, sum(c) AS ct FROM per_doc GROUP BY term),
+tot AS (SELECT sum(ct) AS t FROM vocab)
+SELECT per_doc.id AS {id_col},
+       CAST(sum(per_doc.c) AS BIGINT) AS n_tokens,
+       round(sum(per_doc.c * -ln(vocab.ct / tot.t)) / sum(per_doc.c), 6)
+           AS surprisal
+FROM per_doc JOIN vocab USING (term) CROSS JOIN tot
+GROUP BY per_doc.id
+"""

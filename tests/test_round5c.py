@@ -515,3 +515,75 @@ def test_weighted_sample_drops_nonpositive_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # same map-side top-k contract as deterministic_sample
     assert "WindowGroupLimit" in plan
+
+
+# ---------------------------------------------------------------------------
+# unigram surprisal (corpus-LM quality score)
+# ---------------------------------------------------------------------------
+
+def test_unigram_surprisal_hand_fixture(spark):
+    """Independent dense computation: corpus = 3 docs; common tokens
+    must score LOW, rare tokens HIGH, and the numbers must equal the
+    closed-form mean of -ln(c/T)."""
+    from osm_conflate_spark.operators.search import unigram_surprisal
+
+    rows = [(0, "the the the"), (1, "the cat"), (2, "zyzzyva")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["surprisal"])
+        for r in unigram_surprisal(docs).collect()
+    }
+    T = 6
+    c = {"the": 4, "cat": 1, "zyzzyva": 1}
+    s = lambda t: -math.log(c[t] / T)
+    want = {
+        0: (3, round(s("the"), 6)),
+        1: (2, round((s("the") + s("cat")) / 2, 6)),
+        2: (1, round(s("zyzzyva"), 6)),
+    }
+    assert got == want
+    # ordering sanity: all-common doc < mixed < all-rare
+    assert got[0][1] < got[1][1] < got[2][1]
+
+
+def test_unigram_surprisal_duck_twin(spark):
+    import duckdb
+    import pandas as pd
+
+    from osm_conflate_spark.operators.search import (
+        unigram_surprisal,
+        unigram_surprisal_duck_sql,
+    )
+
+    rows = [(0, "the the the"), (1, "the cat"), (2, "zyzzyva"), (3, "")]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    duck = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(unigram_surprisal_duck_sql()).fetchall()
+    }
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["surprisal"])
+        for r in unigram_surprisal(docs).collect()
+    }
+    assert got == duck
+    assert 3 not in got  # empty doc has no tokens in either engine
+
+
+def test_unigram_surprisal_broadcast_plan(spark):
+    from osm_conflate_spark.operators.search import unigram_surprisal
+
+    rows = [(0, "a b"), (1, "b c")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = unigram_surprisal(docs)
+    out.collect()
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    # vocab and total come back as broadcasts, never a shuffled join
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
