@@ -1594,6 +1594,28 @@ def _q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(spark.table("documents"), k=5)
 
 
+def _q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 adjacent-word collocations by PMI (min bigram count 5):
+    bigram + unigram aggregations, broadcast counts/totals, rounded
+    score + text tie-break at the TakeOrderedAndProject cut — see
+    operators/search.py::pmi_collocations."""
+    from osm_conflate_spark.operators.search import pmi_collocations
+
+    _register(spark, sf_dir)
+    return pmi_collocations(spark.table("documents"), k=25, min_count=5)
+
+
+def _q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorized mean/std at the [p01, p99] clip:
+    exact-percentile bounds broadcast back onto a second pass, derived
+    stats via the one explicit moment formula both engines run — see
+    operators/stats.py::winsorized_stats."""
+    from osm_conflate_spark.operators.stats import winsorized_stats
+
+    _register(spark, sf_dir)
+    return winsorized_stats(spark.table("events"), "event_type", "value")
+
+
 def _q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc mean token surprisal under a corpus-estimated unigram
     LM (the SQL core of CCNet perplexity filtering) — single-scan
@@ -1790,6 +1812,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tfidf_terms=_q_tfidf_terms,
         segment_dedup=_q_segment_dedup,
         unigram_surprisal=_q_unigram_surprisal,
+        pmi_collocations=_q_pmi_collocations,
+        winsorized_stats=_q_winsorized_stats,
         asof_tolerance=_q_asof_tolerance,
         interval_join=_q_interval_join,
         # round-5 widening: link-graph ranking + corpus-split plumbing
@@ -1881,6 +1905,13 @@ def oracle_sql() -> dict[str, str]:
     from osm_conflate_spark.operators.search import unigram_surprisal_duck_sql
 
     out["unigram_surprisal"] = unigram_surprisal_duck_sql()
+    from osm_conflate_spark.operators.search import pmi_collocations_duck_sql
+    from osm_conflate_spark.operators.stats import winsorized_stats_duck_sql
+
+    out["pmi_collocations"] = pmi_collocations_duck_sql(k=25, min_count=5)
+    out["winsorized_stats"] = winsorized_stats_duck_sql(
+        "events", "event_type", "value"
+    )
     from osm_conflate_spark.operators.repetition import segment_dedup_duck_sql
 
     out["segment_dedup"] = segment_dedup_duck_sql(seg_len=8)

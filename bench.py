@@ -298,7 +298,7 @@ HEADLINE_QUERIES = [
     # round 5c: time-series rollups (hopping window, trailing frame)
     # + derandomized weighted sampling
     "hopping_counts", "rolling_stats", "weighted_sample",
-    "unigram_surprisal",
+    "unigram_surprisal", "pmi_collocations", "winsorized_stats",
 ]
 
 

@@ -323,3 +323,102 @@ SELECT per_doc.id AS {id_col},
 FROM per_doc JOIN vocab USING (term) CROSS JOIN tot
 GROUP BY per_doc.id
 """
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    k: int = 25,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` adjacent-word collocations by pointwise mutual
+    information — PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p from
+    corpus counts (Church & Hanks 1990) — the classic "which word
+    pairs stick together" corpus report; ``min_count`` drops the
+    hapax bigrams whose PMI is pure noise.
+
+    Tokenization matches the word_bigram_stats family (raw
+    single-space split) so all bigram operators agree.  Plan: one
+    bigram aggregation (map-side combining) + one unigram aggregation,
+    unigram counts and the two 1-row totals broadcast back onto the
+    min_count-filtered bigram table (at web scale that table is the
+    vocabulary-squared tail — the min_count filter is what keeps it
+    broadcast-joinable on the probe side; the unigram broadcast obeys
+    the same vocab-size caveat as tfidf_top_terms).  The global top-k
+    is an orderBy+limit → TakeOrderedAndProject (map-side partial
+    top-k, never a single-partition sort); the PMI is ROUNDED before
+    the cut and ties break on the bigram text, so the k boundary is
+    engine-deterministic.
+    """
+    from .repetition import bigrams_sql
+
+    bg = docs.select(
+        F.explode(F.expr(bigrams_sql(text_col))).alias("bigram")
+    )
+    bg_counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    t_bi = bg_counts.agg(F.sum("n").alias("__tb"))
+    uni = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__cu"))
+    )
+    t_uni = uni.agg(F.sum("__cu").alias("__tu"))
+    ca = uni.select(F.col("__w").alias("__w1"), F.col("__cu").alias("__ca"))
+    cb = uni.select(F.col("__w").alias("__w2"), F.col("__cu").alias("__cb"))
+    scored = (
+        bg_counts.where(F.col("n") >= min_count)
+        .withColumn("__w1", F.split(F.col("bigram"), " ")[0])
+        .withColumn("__w2", F.split(F.col("bigram"), " ")[1])
+        .join(F.broadcast(ca), "__w1")
+        .join(F.broadcast(cb), "__w2")
+        .join(F.broadcast(t_bi))
+        .join(F.broadcast(t_uni))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("n") / F.col("__tb"))
+                    / ((F.col("__ca") / F.col("__tu")) * (F.col("__cb") / F.col("__tu")))
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+        .limit(k)
+        .select("bigram", "n", "pmi")
+    )
+
+
+def pmi_collocations_duck_sql(
+    k: int = 25,
+    min_count: int = 5,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of :func:`pmi_collocations` — same raw-split
+    bigrams (range/unnest construction, as the word_repetition
+    oracle), same PMI, same (pmi desc, bigram asc) cut."""
+    return f"""
+WITH w AS (SELECT string_split({text_col}, ' ') AS ws FROM {table}),
+i AS (SELECT ws, unnest(range(1, len(ws))) AS i FROM w),
+b AS (SELECT ws[i] || ' ' || ws[i+1] AS bigram FROM i),
+bc AS (SELECT bigram, count(*) AS n FROM b GROUP BY bigram),
+tb AS (SELECT sum(n) AS tb FROM bc),
+u AS (SELECT t.wrd AS wrd, count(*) AS cu
+      FROM w, unnest(ws) AS t(wrd) GROUP BY t.wrd),
+tu AS (SELECT sum(cu) AS tu FROM u),
+scored AS (
+    SELECT bc.bigram, bc.n,
+           round(ln((bc.n / tb.tb) /
+                    ((ua.cu / tu.tu) * (ub.cu / tu.tu))), 6) AS pmi
+    FROM bc
+    JOIN u ua ON ua.wrd = string_split(bc.bigram, ' ')[1]
+    JOIN u ub ON ub.wrd = string_split(bc.bigram, ' ')[2]
+    CROSS JOIN tb CROSS JOIN tu
+    WHERE bc.n >= {min_count}
+)
+SELECT bigram, CAST(n AS BIGINT) AS n, pmi
+FROM scored ORDER BY pmi DESC, bigram ASC LIMIT {k}
+"""

@@ -587,3 +587,141 @@ def test_unigram_surprisal_broadcast_plan(spark):
     # vocab and total come back as broadcasts, never a shuffled join
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+_PMI_DOCS = [
+    # "new york" always adjacent (high PMI); "the" everywhere (low)
+    (0, "the new york trip was the best trip"),
+    (1, "new york in the rain"),
+    (2, "the new york marathon"),
+    (3, "the best rain gear in new york"),
+]
+
+
+def _pmi_np(min_count):
+    uni: dict[str, int] = {}
+    big: dict[str, int] = {}
+    for _, text in _PMI_DOCS:
+        ws = text.split(" ")
+        for t in ws:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            big[f"{a} {b}"] = big.get(f"{a} {b}", 0) + 1
+    tu = sum(uni.values())
+    tb = sum(big.values())
+    out = {}
+    for bg, n in big.items():
+        if n < min_count:
+            continue
+        a, b = bg.split(" ")
+        out[bg] = (
+            n,
+            round(math.log((n / tb) / ((uni[a] / tu) * (uni[b] / tu))), 6),
+        )
+    return out
+
+
+def test_pmi_hand_fixture_and_ordering(spark):
+    from osm_conflate_spark.operators.search import pmi_collocations
+
+    docs = spark.createDataFrame(_PMI_DOCS, "doc_id long, text string")
+    got = {
+        r["bigram"]: (r["n"], r["pmi"])
+        for r in pmi_collocations(docs, k=50, min_count=2).collect()
+    }
+    assert got == _pmi_np(min_count=2)
+    # the always-adjacent pair must beat any pair involving "the"
+    ordered = [
+        r["bigram"]
+        for r in pmi_collocations(docs, k=50, min_count=2).collect()
+    ]
+    assert ordered.index("new york") < ordered.index("the new")
+
+
+def test_pmi_duck_twin_and_plan(spark):
+    import duckdb
+    import pandas as pd
+
+    from osm_conflate_spark.operators.search import (
+        pmi_collocations,
+        pmi_collocations_duck_sql,
+    )
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(_PMI_DOCS, columns=["doc_id", "text"]))
+    duck = [
+        (r[0], r[1], r[2])
+        for r in con.execute(
+            pmi_collocations_duck_sql(k=3, min_count=2)
+        ).fetchall()
+    ]
+    docs = spark.createDataFrame(_PMI_DOCS, "doc_id long, text string")
+    out = pmi_collocations(docs, k=3, min_count=2)
+    got = [(r["bigram"], r["n"], r["pmi"]) for r in out.collect()]
+    assert got == duck
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # global top-k must be a map-side partial top-k, not a full sort
+    assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# winsorized robust stats
+# ---------------------------------------------------------------------------
+
+def test_winsorized_stats_numpy_oracle(spark):
+    from osm_conflate_spark.operators.stats import winsorized_stats
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate(
+        [rng.normal(100, 10, 400), [10_000.0, -10_000.0, 9_000.0]]
+    )
+    rows = [(("a" if i % 2 else "b"), float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    got = {
+        r["g"]: (
+            r["n"], r["lo"], r["hi"], r["n_clip_lo"], r["n_clip_hi"],
+            r["mean_w"], r["std_w"],
+        )
+        for r in winsorized_stats(df, "g", "value", 0.05, 0.95).collect()
+    }
+    for g in ("a", "b"):
+        v = np.array([x for gg, x in rows if gg == g])
+        lo = np.percentile(v, 5, method="linear")
+        hi = np.percentile(v, 95, method="linear")
+        w = np.clip(v, lo, hi)
+        n, glo, ghi, ncl, nch, mw, sw = got[g]
+        assert n == len(v)
+        assert glo == pytest.approx(round(lo, 6), abs=2e-6)
+        assert ghi == pytest.approx(round(hi, 6), abs=2e-6)
+        assert ncl == int((v < lo).sum())
+        assert nch == int((v > hi).sum())
+        assert mw == pytest.approx(round(float(w.mean()), 6), abs=2e-6)
+        assert sw == pytest.approx(round(float(w.std()), 6), abs=2e-6)
+        # the outliers must have been tamed: winsorized std is in the
+        # same decade as the inlier distribution, not the 10^4 spikes
+        assert sw < 100
+
+
+def test_winsorized_stats_duck_twin_and_validation(spark):
+    import duckdb
+    import pandas as pd
+
+    from osm_conflate_spark.operators.stats import (
+        winsorized_stats,
+        winsorized_stats_duck_sql,
+    )
+
+    rows = [("a", float(v)) for v in range(100)] + [("a", 1e6)]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["g", "value"]))
+    duck = con.execute(winsorized_stats_duck_sql("t", "g", "value")).fetchall()
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = winsorized_stats(df, "g", "value")
+    r = out.collect()[0]
+    assert [tuple(r)] == [tuple(x) for x in duck]
+    with pytest.raises(ValueError):
+        winsorized_stats(df, "g", "value", 0.9, 0.1)
