@@ -136,6 +136,78 @@ def _portable(name: str) -> str:
                    {sqlgen.tile_y_sql('lat', 12)} AS y
             FROM pts
         """,
+        # Raster focal smoothing (hotspot detection): per-z12-tile point
+        # counts, then a 3x3 neighborhood (focal) sum — the kernel
+        # -smoothing pass of a density/heatmap layer.  The 9 offsets are
+        # a constant relation so contributions multiply MAP-side off the
+        # aggregated tile table (never off raw points); x wraps at the
+        # antimeridian with pure integer arithmetic; phantom centers
+        # (off-grid y, never-occupied tiles) drop in the join back to
+        # occupied tiles.  Two aggs + one equi-join on the (already
+        # aggregated, tiny) tile table — top-25 by focal density.
+        "tile_hotspots": f"""
+            WITH pts AS ({_DS_PTS}),
+            t AS (
+                SELECT {sqlgen.tile_x_sql('lon', 12)} AS x,
+                       {sqlgen.tile_y_sql('lat', 12)} AS y,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM pts GROUP BY 1, 2
+            ),
+            off AS (
+                SELECT dx, dy FROM (SELECT CAST(-1 AS BIGINT) AS dx UNION ALL
+                                    SELECT 0 UNION ALL SELECT 1) a
+                CROSS JOIN (SELECT CAST(-1 AS BIGINT) AS dy UNION ALL
+                            SELECT 0 UNION ALL SELECT 1) b
+            ),
+            nb AS (
+                SELECT (t.x + off.dx + 4096) % 4096 AS cx, t.y + off.dy AS cy,
+                       t.n
+                FROM t CROSS JOIN off
+            ),
+            focal AS (
+                SELECT cx, cy, CAST(sum(n) AS BIGINT) AS focal_n
+                FROM nb GROUP BY cx, cy
+            )
+            SELECT t.x, t.y, t.n, focal.focal_n
+            FROM focal JOIN t ON t.x = focal.cx AND t.y = focal.cy
+            ORDER BY focal.focal_n DESC, t.x ASC, t.y ASC
+            LIMIT 25
+        """,
+        # Multi-step conversion funnel (view -> click -> purchase, each
+        # step within 1h of the previous): three whole-partition
+        # conditional-min windows over the SAME user_id partitioning —
+        # Catalyst plans ONE Exchange and stacks the Window operators,
+        # and the closing per-user rollup reuses it too (single shuffle
+        # end-to-end).  Step k's window condition references step k-1's
+        # window result, so NULL (step never reached) propagates
+        # forward for free.
+        "funnel_steps": """
+            SELECT user_id,
+                   max(t1) AS t_view, max(t2) AS t_click,
+                   max(t3) AS t_purchase
+            FROM (
+                SELECT user_id, t1, t2,
+                       min(CASE WHEN event_type = 'purchase' AND us >= t2
+                                 AND us <= t2 + 3600000000 THEN us END)
+                           OVER (PARTITION BY user_id) AS t3
+                FROM (
+                    SELECT user_id, event_type, us, t1,
+                           min(CASE WHEN event_type = 'click' AND us >= t1
+                                     AND us <= t1 + 3600000000 THEN us END)
+                               OVER (PARTITION BY user_id) AS t2
+                    FROM (
+                        SELECT user_id, event_type,
+                               CAST(ts_epoch_expr AS BIGINT) AS us,
+                               min(CASE WHEN event_type = 'view'
+                                        THEN CAST(ts_epoch_expr AS BIGINT) END)
+                                   OVER (PARTITION BY user_id) AS t1
+                        FROM events
+                    ) s1
+                ) s2
+            ) s3
+            WHERE t1 IS NOT NULL
+            GROUP BY user_id
+        """,
         # Z-order / Morton key (layout clustering; operators/layout.py)
         "zorder_key": f"""
             WITH pts AS ({_DS_PTS}),
@@ -486,7 +558,7 @@ def _sql_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
             sql = sql.replace("epoch_expr", "CAST(date_trunc('hour', ts) AS LONG)").replace(
                 "events_src", "events"
             )
-        if name in ("latest_by_key", "hopping_counts"):
+        if name in ("latest_by_key", "hopping_counts", "funnel_steps"):
             sql = sql.replace("ts_epoch_expr", "unix_micros(CAST(ts AS TIMESTAMP))")
         return spark.sql(sql)
 
@@ -1761,7 +1833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bbox_extent", "ref_dedup", "action_counts", "dedup_exact",
             "token_stats", "events_hourly", "tpch_q1", "top_customers",
             "zorder_key", "geohash", "latest_by_key", "url_normalize",
-            "hopping_counts", "rolling_stats",
+            "hopping_counts", "rolling_stats", "tile_hotspots",
+            "funnel_steps",
         ]
     }
     q.update(
@@ -1831,7 +1904,7 @@ def oracle_sql() -> dict[str, str]:
             "distance", "gc_distance", "way_length", "cell_index", "tiles_z12",
             "bbox_extent", "ref_dedup", "action_counts", "dedup_exact",
             "tpch_q1", "top_customers", "candidate_pairs", "tag_merge",
-            "zorder_key", "geohash", "url_normalize",
+            "zorder_key", "geohash", "url_normalize", "tile_hotspots",
         ]
     }
     out["dedup_norm"] = _dedup_norm_sql("duck")
@@ -1839,6 +1912,9 @@ def oracle_sql() -> dict[str, str]:
         "ts_epoch_expr", "epoch_us(ts)"
     )
     out["hopping_counts"] = _portable("hopping_counts").replace(
+        "ts_epoch_expr", "epoch_us(ts)"
+    )
+    out["funnel_steps"] = _portable("funnel_steps").replace(
         "ts_epoch_expr", "epoch_us(ts)"
     )
     out["rolling_stats"] = _portable("rolling_stats")

@@ -299,6 +299,7 @@ HEADLINE_QUERIES = [
     # + derandomized weighted sampling
     "hopping_counts", "rolling_stats", "weighted_sample",
     "unigram_surprisal", "pmi_collocations", "winsorized_stats",
+    "tile_hotspots", "funnel_steps",
 ]
 
 

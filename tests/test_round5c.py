@@ -27,6 +27,8 @@ from osm_conflate_spark.functions.sqlgen import (
     EARTH_R_MEAN,
     bearing_sql,
     haversine_sql,
+    tile_x_sql,
+    tile_y_sql,
 )
 from osm_conflate_spark.operators.search import (
     tfidf_top_terms,
@@ -725,3 +727,118 @@ def test_winsorized_stats_duck_twin_and_validation(spark):
     assert [tuple(r)] == [tuple(x) for x in duck]
     with pytest.raises(ValueError):
         winsorized_stats(df, "g", "value", 0.9, 0.1)
+
+
+# ---------------------------------------------------------------------------
+# tile focal hotspots + funnel (portable registry SQL)
+# ---------------------------------------------------------------------------
+
+def test_tile_hotspots_pandas_replay(spark):
+    """3x3 focal sum over z12 tile counts vs a dict brute force on the
+    same derived points."""
+    import duckdb
+
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    em._register(spark, sf)
+    got = [
+        (r["x"], r["y"], r["n"], r["focal_n"])
+        for r in spark.sql(em._portable("tile_hotspots")).collect()
+    ]
+    con = duckdb.connect()
+    for t in em.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
+        )
+    tiles = con.execute(
+        f"WITH pts AS ({em._DS_PTS}) SELECT "
+        f"{tile_x_sql('lon', 12)} AS x, {tile_y_sql('lat', 12)} AS y, "
+        f"count(*) AS n FROM pts GROUP BY 1, 2"
+    ).fetchall()
+    counts = {(x, y): n for x, y, n in tiles}
+    focal = {}
+    for (x, y), n in counts.items():
+        s = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                s += counts.get(((x + dx + 4096) % 4096, y + dy), 0)
+        focal[(x, y)] = s
+    want = sorted(
+        ((x, y, n, focal[(x, y)]) for (x, y), n in counts.items()),
+        key=lambda r: (-r[3], r[0], r[1]),
+    )[:25]
+    assert got == want
+    # focal sum always includes the center itself
+    assert all(f >= n for _, _, n, f in got)
+
+
+def test_tile_hotspots_topk_plan(spark):
+    import __spark_entry__ as em
+
+    em._register(spark, "/root/testdata/sf0.001")
+    out = spark.sql(em._portable("tile_hotspots"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_funnel_steps_hand_fixture(spark):
+    """Stage gating: each step must come at-or-after the previous
+    step's FIRST occurrence and within 1h of it."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(mins):
+        return base + dt.timedelta(minutes=mins)
+
+    rows = [
+        # user 1: clean view(0) -> click(10) -> purchase(30)
+        (1, ts(0), "view"), (1, ts(10), "click"), (1, ts(30), "purchase"),
+        # user 2: click BEFORE the first view doesn't count; the later
+        # click at +70 is outside view+1h -> funnel stops at t_view
+        (2, ts(5), "click"), (2, ts(20), "view"), (2, ts(90), "click"),
+        # user 3: no view at all -> absent from output
+        (3, ts(0), "click"), (3, ts(1), "purchase"),
+        # user 4: purchase within 1h of the FIRST click, not a later one
+        (4, ts(0), "view"), (4, ts(30), "click"), (4, ts(50), "click"),
+        (4, ts(85), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    df.createOrReplaceTempView("events")
+    import __spark_entry__ as em
+
+    sql = em._portable("funnel_steps").replace(
+        "ts_epoch_expr", "unix_micros(CAST(ts AS TIMESTAMP))"
+    )
+    got = {
+        r["user_id"]: (r["t_view"], r["t_click"], r["t_purchase"])
+        for r in spark.sql(sql).collect()
+    }
+    us = lambda m: int(ts(m).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    assert set(got) == {1, 2, 4}
+    assert got[1] == (us(0), us(10), us(30))
+    assert got[2] == (us(20), None, None)
+    # user 4: purchase at +85 is within 1h of first click (+30)
+    assert got[4] == (us(0), us(30), us(85))
+
+
+def test_funnel_steps_single_exchange(spark):
+    """Three stacked whole-partition windows + the per-user rollup all
+    key on user_id — the executed plan must contain exactly ONE
+    Exchange."""
+    import __spark_entry__ as em
+
+    em._register(spark, "/root/testdata/sf0.001")
+    sql = em._portable("funnel_steps").replace(
+        "ts_epoch_expr", "unix_micros(CAST(ts AS TIMESTAMP))"
+    )
+    out = spark.sql(sql)
+    out.collect()
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
