@@ -208,6 +208,24 @@ def _portable(name: str) -> str:
             WHERE t1 IS NOT NULL
             GROUP BY user_id
         """,
+        # Pivot / crosstab: per-source language mix as a wide matrix.
+        # Expressed as conditional aggregation (one portable text)
+        # rather than an engine pivot construct — same single
+        # map-side-combining aggregation Spark plans for
+        # groupBy().pivot() with an explicit value list, and the
+        # column set is FIXED (the 5 corpus languages) so the schema
+        # is deterministic at every scale.
+        "lang_source_matrix": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+                   CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+                   CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+                   CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh
+            FROM documents
+            GROUP BY source
+        """,
         # Z-order / Morton key (layout clustering; operators/layout.py)
         "zorder_key": f"""
             WITH pts AS ({_DS_PTS}),
@@ -1688,6 +1706,45 @@ def _q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorized_stats(spark.table("events"), "event_type", "value")
 
 
+def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class mean embedding, long (label, dim, v) layout — one
+    posexplode + map-side-combining agg; see
+    operators/similarity.py::label_centroids."""
+    from osm_conflate_spark.operators.similarity import label_centroids
+
+    _register(spark, sf_dir)
+    return label_centroids(spark.table("embeddings"))
+
+
+def _q_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle cosine matrix between class centroids (the
+    class-confusability report) — aggregations over the long centroid
+    table, broadcast self-join on dim; see
+    operators/similarity.py::centroid_similarity."""
+    from osm_conflate_spark.operators.similarity import centroid_similarity
+
+    _register(spark, sf_dir)
+    return centroid_similarity(spark.table("embeddings"))
+
+
+def _q_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch family: HyperLogLog++ distinct users per event type
+    (`approx_count_distinct`, rsd 2%) next to the exact count.  The
+    sketch is mergeable across partitions/executors — THE cardinality
+    primitive at 10^12 rows where exact distinct means shuffling every
+    key.  No DuckDB oracle on purpose: HLL registers are
+    engine-specific, so the driver records the weaker rows-only check
+    and pytest bounds the relative error against the exact count
+    (`test_round5c.py::test_approx_users_error_bound`)."""
+    _register(spark, sf_dir)
+    return spark.sql(
+        "SELECT event_type, "
+        "approx_count_distinct(user_id, 0.02) AS approx_users, "
+        "count(DISTINCT user_id) AS exact_users "
+        "FROM events GROUP BY event_type"
+    )
+
+
 def _q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc mean token surprisal under a corpus-estimated unigram
     LM (the SQL core of CCNet perplexity filtering) — single-scan
@@ -1834,7 +1891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "token_stats", "events_hourly", "tpch_q1", "top_customers",
             "zorder_key", "geohash", "latest_by_key", "url_normalize",
             "hopping_counts", "rolling_stats", "tile_hotspots",
-            "funnel_steps",
+            "funnel_steps", "lang_source_matrix",
         ]
     }
     q.update(
@@ -1887,6 +1944,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         unigram_surprisal=_q_unigram_surprisal,
         pmi_collocations=_q_pmi_collocations,
         winsorized_stats=_q_winsorized_stats,
+        label_centroids=_q_label_centroids,
+        centroid_sim=_q_centroid_sim,
+        approx_users=_q_approx_users,
         asof_tolerance=_q_asof_tolerance,
         interval_join=_q_interval_join,
         # round-5 widening: link-graph ranking + corpus-split plumbing
@@ -1905,6 +1965,7 @@ def oracle_sql() -> dict[str, str]:
             "bbox_extent", "ref_dedup", "action_counts", "dedup_exact",
             "tpch_q1", "top_customers", "candidate_pairs", "tag_merge",
             "zorder_key", "geohash", "url_normalize", "tile_hotspots",
+            "lang_source_matrix",
         ]
     }
     out["dedup_norm"] = _dedup_norm_sql("duck")
@@ -1988,6 +2049,15 @@ def oracle_sql() -> dict[str, str]:
     out["winsorized_stats"] = winsorized_stats_duck_sql(
         "events", "event_type", "value"
     )
+    from osm_conflate_spark.operators.similarity import (
+        centroid_similarity_duck_sql,
+        label_centroids_duck_sql,
+    )
+
+    out["label_centroids"] = label_centroids_duck_sql()
+    out["centroid_sim"] = centroid_similarity_duck_sql()
+    # approx_users intentionally has NO oracle: HLL sketches are
+    # engine-specific (rows-only driver check + pytest error bound).
     from osm_conflate_spark.operators.repetition import segment_dedup_duck_sql
 
     out["segment_dedup"] = segment_dedup_duck_sql(seg_len=8)

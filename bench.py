@@ -299,7 +299,8 @@ HEADLINE_QUERIES = [
     # + derandomized weighted sampling
     "hopping_counts", "rolling_stats", "weighted_sample",
     "unigram_surprisal", "pmi_collocations", "winsorized_stats",
-    "tile_hotspots", "funnel_steps",
+    "tile_hotspots", "funnel_steps", "lang_source_matrix",
+    "centroid_sim", "approx_users",
 ]
 
 

@@ -228,3 +228,110 @@ def measure_ivf_recall(
                  n_out=len(exact & approx), wall_ms=0.0, resumed=False)
         )
     return recall
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-class mean embedding as a LONG table ``(label, dim, v)`` —
+    the class-prototype computation behind centroid classifiers,
+    IVF coarse quantizers and embedding-drift monitoring.
+
+    The long layout is deliberate: ``posexplode`` + one
+    map-side-combining (label, dim) aggregation shuffles only
+    |labels|·|dims| partial sums per map task, and downstream linear
+    algebra (see :func:`centroid_similarity`) stays in plain
+    aggregations.  Collecting back to an array would force a
+    per-label ``sort_array(collect_list(...))`` for zero consumer
+    benefit here.  float32 inputs widen to float64 identically in
+    both engines, so the rounded means hash-match the DuckDB twin.
+    """
+    return (
+        emb.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("dim", "__x"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("__x"), 6).alias("v"))
+    )
+
+
+def label_centroids_duck_sql(
+    table: str = "embeddings",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay of :func:`label_centroids` (0-based dim to match
+    posexplode)."""
+    return f"""
+SELECT {label_col} AS label, CAST(i - 1 AS INT) AS dim,
+       round(avg({vec_col}[i]), 6) AS v
+FROM {table}, unnest(range(1, len({vec_col}) + 1)) AS t(i)
+GROUP BY label, dim
+"""
+
+
+def centroid_similarity(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise cosine similarity between class centroids — the
+    |labels|² class-confusability matrix (upper triangle), computed
+    entirely as aggregations over the LONG centroid table: a self
+    equi-join on ``dim`` (|labels|²·dims rows — trivially small, and
+    the smaller side broadcasts) then one sum per pair.  Uses the
+    UNROUNDED means internally; only the final cosine is rounded.
+    """
+    cent = (
+        emb.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("dim", "__x"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.avg("__x").alias("v"))
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("v").alias("va")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("v").alias("vb")
+    )
+    return (
+        a.join(F.broadcast(b), "dim")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.round(
+                F.sum(F.col("va") * F.col("vb"))
+                / (
+                    F.sqrt(F.sum(F.col("va") * F.col("va")))
+                    * F.sqrt(F.sum(F.col("vb") * F.col("vb")))
+                ),
+                6,
+            ).alias("cosine")
+        )
+    )
+
+
+def centroid_similarity_duck_sql(
+    table: str = "embeddings",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay of :func:`centroid_similarity` — same unrounded
+    means, same final rounding."""
+    return f"""
+WITH cent AS (
+    SELECT {label_col} AS label, i AS dim, avg({vec_col}[i]) AS v
+    FROM {table}, unnest(range(1, len({vec_col}) + 1)) AS t(i)
+    GROUP BY label, dim
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       round(sum(a.v * b.v) /
+             (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))), 6) AS cosine
+FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+GROUP BY a.label, b.label
+"""

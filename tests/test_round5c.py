@@ -842,3 +842,81 @@ def test_funnel_steps_single_exchange(spark):
         .split("== Initial Plan ==")[0]
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# pivot matrix, embedding centroids, HLL sketch
+# ---------------------------------------------------------------------------
+
+def test_lang_source_matrix_row_sums(spark):
+    """The pivot's fixed lang columns must partition n_docs exactly."""
+    import __spark_entry__ as em
+
+    em._register(spark, "/root/testdata/sf0.001")
+    rows = spark.sql(em._portable("lang_source_matrix")).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["n_de"] + r["n_en"] + r["n_es"] + r["n_fr"] + r["n_zh"]
+            == r["n_docs"]
+        )
+
+
+def test_label_centroids_numpy_replay(spark):
+    from osm_conflate_spark.operators.similarity import label_centroids
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    got = {
+        (r["label"], r["dim"]): r["v"]
+        for r in label_centroids(emb).collect()
+    }
+    pdf = emb.toPandas()
+    for label, g in pdf.groupby("label"):
+        m = np.mean(np.stack(g["embedding"].to_numpy()).astype(np.float64), axis=0)
+        for d in range(len(m)):
+            assert got[(label, d)] == pytest.approx(round(float(m[d]), 6), abs=2e-6)
+
+
+def test_centroid_similarity_numpy_replay_and_plan(spark):
+    from osm_conflate_spark.operators.similarity import centroid_similarity
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    out = centroid_similarity(emb)
+    got = {
+        (r["label_a"], r["label_b"]): r["cosine"] for r in out.collect()
+    }
+    pdf = emb.toPandas()
+    cents = {
+        label: np.mean(
+            np.stack(g["embedding"].to_numpy()).astype(np.float64), axis=0
+        )
+        for label, g in pdf.groupby("label")
+    }
+    labels = sorted(cents)
+    assert len(got) == len(labels) * (len(labels) - 1) // 2
+    for i, a in enumerate(labels):
+        for b in labels[i + 1:]:
+            want = float(
+                cents[a] @ cents[b]
+                / (np.linalg.norm(cents[a]) * np.linalg.norm(cents[b]))
+            )
+            assert got[(a, b)] == pytest.approx(round(want, 6), abs=2e-6)
+            assert -1.0 <= got[(a, b)] <= 1.0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_approx_users_error_bound(spark):
+    """HLL++ at rsd=0.02 must land within 3 standard errors of the
+    exact distinct count on every group (deterministic: the sketch is
+    seed-free for a fixed input/partitioning)."""
+    import __spark_entry__ as em
+
+    got = em.queries()["approx_users"](spark, "/root/testdata/sf0.01").collect()
+    assert got
+    for r in got:
+        rel = abs(r["approx_users"] - r["exact_users"]) / r["exact_users"]
+        assert rel <= 0.06, (r["event_type"], rel)
