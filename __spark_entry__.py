@@ -1706,6 +1706,39 @@ def _q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorized_stats(spark.table("events"), "event_type", "value")
 
 
+def _q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 supplier-name pairs via the FastSS deletion
+    -neighborhood equi-join (quadratic fuzzy join turned into one
+    shuffle); the DuckDB oracle runs the INDEPENDENT brute-force
+    quadratic algorithm — see operators/fuzzy.py::fuzzy_pairs."""
+    from osm_conflate_spark.operators.fuzzy import fuzzy_pairs
+
+    _register(spark, sf_dir)
+    return fuzzy_pairs(spark.table("supplier"), "s_suppkey", "s_name")
+
+
+def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction rollup: pull the numeric field out of
+    the events JSON ``props`` column in codegen (get_json_object /
+    json_extract — engine-specific expr, same semantics) and aggregate
+    per event type — one scan, one map-side-combining shuffle."""
+    _register(spark, sf_dir)
+    return spark.sql(
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(CAST(get_json_object(props, '$.k') AS INT)) AS BIGINT) AS sum_k, "
+        "round(avg(CAST(get_json_object(props, '$.k') AS INT)), 6) AS avg_k "
+        "FROM events GROUP BY event_type"
+    )
+
+
+_JSON_PROPS_DUCK = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
+       round(avg(CAST(props->>'k' AS INT)), 6) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
 def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-class mean embedding, long (label, dim, v) layout — one
     posexplode + map-side-combining agg; see
@@ -1947,6 +1980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         label_centroids=_q_label_centroids,
         centroid_sim=_q_centroid_sim,
         approx_users=_q_approx_users,
+        fuzzy_pairs=_q_fuzzy_pairs,
+        json_props=_q_json_props,
         asof_tolerance=_q_asof_tolerance,
         interval_join=_q_interval_join,
         # round-5 widening: link-graph ranking + corpus-split plumbing
@@ -2056,6 +2091,10 @@ def oracle_sql() -> dict[str, str]:
 
     out["label_centroids"] = label_centroids_duck_sql()
     out["centroid_sim"] = centroid_similarity_duck_sql()
+    from osm_conflate_spark.operators.fuzzy import fuzzy_pairs_duck_sql
+
+    out["fuzzy_pairs"] = fuzzy_pairs_duck_sql("supplier", "s_suppkey", "s_name")
+    out["json_props"] = _JSON_PROPS_DUCK
     # approx_users intentionally has NO oracle: HLL sketches are
     # engine-specific (rows-only driver check + pytest error bound).
     from osm_conflate_spark.operators.repetition import segment_dedup_duck_sql

@@ -300,7 +300,7 @@ HEADLINE_QUERIES = [
     "hopping_counts", "rolling_stats", "weighted_sample",
     "unigram_surprisal", "pmi_collocations", "winsorized_stats",
     "tile_hotspots", "funnel_steps", "lang_source_matrix",
-    "centroid_sim", "approx_users",
+    "centroid_sim", "approx_users", "fuzzy_pairs", "json_props",
 ]
 
 

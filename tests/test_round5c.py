@@ -920,3 +920,101 @@ def test_approx_users_error_bound(spark):
     for r in got:
         rel = abs(r["approx_users"] - r["exact_users"]) / r["exact_users"]
         assert rel <= 0.06, (r["event_type"], rel)
+
+
+# ---------------------------------------------------------------------------
+# FastSS fuzzy join + JSON props extraction
+# ---------------------------------------------------------------------------
+
+def test_fuzzy_pairs_hand_fixture(spark):
+    """Edit-distance taxonomy: substitution, deletion, insertion all
+    dist 1 (kept); transposition and double-substitution are dist 2
+    (dropped); exact duplicates are dist 0 (kept)."""
+    from osm_conflate_spark.operators.fuzzy import fuzzy_pairs
+
+    rows = [
+        (1, "market"),
+        (2, "marked"),   # substitution of 1 -> dist 1
+        (3, "marke"),    # deletion from 1 -> dist 1
+        (4, "markets"),  # insertion into 1 -> dist 1
+        (5, "makret"),   # transposition -> dist 2 from 1: excluded
+        (6, "market"),   # duplicate of 1 -> dist 0
+        (7, "bazaar"),   # unrelated
+    ]
+    df = spark.createDataFrame(rows, "k long, name string")
+    got = {
+        (r["a_key"], r["b_key"]): r["dist"]
+        for r in fuzzy_pairs(df, "k", "name").collect()
+    }
+    # exact expectations, computed with an independent DP levenshtein
+    import itertools
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (ca != cb)
+                )
+        return d[len(b)]
+
+    want = {
+        (a, b): lev(na, nb)
+        for (a, na), (b, nb) in itertools.combinations(rows, 2)
+        if lev(na, nb) <= 1
+    }
+    assert got == want
+    assert (1, 5) not in got and (5, 6) not in got  # transposition is 2
+
+
+def test_fuzzy_pairs_equijoin_plan(spark):
+    """The whole point of FastSS: the fuzzy join must plan as an
+    EQUI-join on the variant, never a cartesian/nested-loop product."""
+    from osm_conflate_spark.operators.fuzzy import fuzzy_pairs
+
+    sup = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+    out = fuzzy_pairs(sup, "s_suppkey", "s_name")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    with pytest.raises(ValueError):
+        fuzzy_pairs(sup, "s_suppkey", "s_name", max_dist=2)
+
+
+def test_json_props_null_and_missing_keys(spark):
+    """Missing key / malformed JSON extract to NULL and fall out of
+    sum/avg identically in both engines."""
+    import duckdb
+    import pandas as pd
+
+    rows = [
+        ("a", '{"k": 10}'),
+        ("a", '{"other": 1}'),   # missing key -> NULL
+        ("a", "not json"),       # malformed -> NULL
+        ("b", '{"k": 7}'),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, props string")
+    df.createOrReplaceTempView("events")
+    got = {
+        r["event_type"]: (r["n"], r["sum_k"], r["avg_k"])
+        for r in spark.sql(
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(get_json_object(props, '$.k') AS INT)) AS BIGINT) AS sum_k, "
+            "round(avg(CAST(get_json_object(props, '$.k') AS INT)), 6) AS avg_k "
+            "FROM events GROUP BY event_type"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("events", pd.DataFrame(rows, columns=["event_type", "props"]))
+    duck = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(try_cast(props AS JSON)->>'k' AS INT)) AS BIGINT) AS sum_k, "
+            "round(avg(CAST(try_cast(props AS JSON)->>'k' AS INT)), 6) AS avg_k "
+            "FROM events GROUP BY event_type"
+        ).fetchall()
+    }
+    assert got == duck
+    assert got["a"] == (3, 10, 10.0)
