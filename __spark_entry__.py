@@ -64,9 +64,32 @@ _OSM_PTS = (
 )
 
 
+# Tables whose per-row compute downstream is heavy relative to their
+# bytes.  The test inputs are ONE parquet file with ONE row group each,
+# so their scans are unsplittable: every pre-Exchange stage (explode,
+# n-gram transforms, trig, self-join probe + partial agg) serializes on
+# a single core — measured 185 s for ngram_jaccard at sf1.0 with 31
+# cores idle.  _fan round-robins a few MB of raw rows once so that
+# compute runs at session parallelism; it is a no-op on inputs that
+# already scan wide (real corpora: many files / row groups).
+_FAT_TABLES = {"documents", "embeddings", "events", "orders", "supplier"}
+
+
+def _fan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        df = df.repartition(p)
+    return df
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    return _fan(spark, df) if table in _FAT_TABLES else df
+
+
 def _register(spark: SparkSession, sf_dir: str) -> None:
     for t in TABLES:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        _read(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
 def _portable(name: str) -> str:
@@ -693,7 +716,7 @@ def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     return dd.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
 
 
@@ -701,7 +724,7 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash+LSH pipeline with the PORTABLE md5-based hashing so
     the DuckDB oracle replays signatures, band keys, candidate join and
     exact-Jaccard verification end-to-end (round-1 gap: no_oracle)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     return dd.minhash_lsh_pairs(
         docs, "text", "doc_id", num_hashes=32, bands=8, threshold=0.2,
         portable=True,
@@ -713,7 +736,7 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived from the radius the bucketed candidates have guaranteed
     recall, so the output must equal DuckDB's brute-force all-pairs
     Hamming filter over the replayed signatures."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     return dd.simhash_pairs(
         docs, "text", "doc_id", max_hamming=8,
         token_hash_sql=sqlgen.hash60_sql("t", "spark"),
@@ -721,14 +744,14 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, sf_dir, "embeddings")
     return dd.embedding_dup_pairs(
         emb, "embedding", "vec_id", threshold=0.3, brute_force=True
     )
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return sim.brute_force_topk(queries, emb, k=5).select(
         "query_id", "neighbor_id", "cosine", "rank"
@@ -736,7 +759,7 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", tfn.fingerprint_col("text", portable=True).alias("fp")
     )
@@ -758,7 +781,7 @@ def _q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded from candidate generation (the uncapped driver query keeps
     the exhaustive twin).  The oracle replays the cap — this is not a
     'cap happens to not matter' check; DuckDB prunes the same grams."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     return dd.ngram_jaccard_pairs(
         docs, "text", "doc_id", n=3, threshold=0.2,
         max_doc_freq=_NGRAM_CAP_DF, lineage=[],
@@ -780,7 +803,7 @@ _SRP_THRESHOLD = 0.9999
 
 
 def _q_embedding_dup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, sf_dir, "embeddings")
     v = emb.selectExpr("vec_id", _SRP_VEC_SPARK + " AS vec")
     return dd.embedding_dup_pairs(
         v, "vec", "vec_id", threshold=_SRP_THRESHOLD,
@@ -809,7 +832,7 @@ def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with the portable centroid hash so DuckDB replays the
     ENTIRE approximate pipeline — stratified centroids, bucket
     assignment, n_probe search, top-k — not merely a recall bound."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 10)
     h = sqlgen.hash60_sql("CAST(vec_id AS STRING)", "spark")
     return sim.ivf_topk(
@@ -907,7 +930,7 @@ def _q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash pairs (portable hashing) -> distributed connected components
     (min-label propagation) -> (doc, cluster_id); the oracle replays the
     whole chain with a recursive min-reachability CTE."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     pairs = dd.minhash_lsh_pairs(
         docs, "text", "doc_id", num_hashes=32, bands=8, threshold=0.2,
         portable=True,
@@ -940,7 +963,7 @@ def _q_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL dedup story end-to-end: minhash pairs -> connected
     components -> one keeper per cluster (what a training-data pipeline
     actually writes out)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     pairs = dd.minhash_lsh_pairs(
         docs, "text", "doc_id", num_hashes=32, bands=8, threshold=0.2,
         portable=True,
@@ -1001,7 +1024,7 @@ def _q_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style per-document bigram repetition (duplicate-bigram
     and top-bigram fractions) — two map-side-combining aggregations,
     pure built-in exprs (see operators/repetition.py scale notes)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     from osm_conflate_spark.operators.repetition import word_bigram_stats
 
     return word_bigram_stats(docs)
@@ -1024,7 +1047,7 @@ def _q_dup_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level exact duplicated 8-word shingles per document (the
     Lee-et-al exact-substring dedup signal): shingles md5-hashed before
     the wide shuffles, distinct-doc count joined back per occurrence."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     from osm_conflate_spark.operators.repetition import dup_shingle_stats
 
     return dup_shingle_stats(docs, k=8)
@@ -1034,7 +1057,7 @@ def _q_dup_shingles_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same semantics through the HEAVY-HITTER ESCAPE (broadcast join
     for shingles in >= 3 docs — 71 such at sf0.01, so the armed path
     genuinely fires here): the scale plan is the oracled plan."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     from osm_conflate_spark.operators.repetition import dup_shingle_stats
 
     return dup_shingle_stats(docs, k=8, hot_threshold=3)
@@ -1198,7 +1221,7 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic eval subset (doc_id % 97 == 0), benchmark shingle
     set broadcast so the corpus scan never shuffles for the probe
     (operators/decontaminate.py)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     from osm_conflate_spark.operators.decontaminate import (
         contamination_stats,
     )
@@ -1234,7 +1257,7 @@ def _q_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable 60-bit md5 key — seedless, rerun- and engine-stable; the
     rank filter compiles to a map-side WindowGroupLimit (asserted in
     tests), not a full per-group sort."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     from osm_conflate_spark.operators.sampling import deterministic_sample
 
     return deterministic_sample(docs, "lang", "doc_id", _SAMPLE_N)
@@ -1257,7 +1280,7 @@ def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     into ~2048-token chunks via the window-prefix-sum rule (chunk =
     prefix-sum-before-row div budget) — the distributed formulation of
     greedy packing (exact first-fit is sequential)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = _read(spark, sf_dir, "documents").select(
         "doc_id", "lang", tfn.token_count_spark("text").alias("n_tokens")
     )
     from osm_conflate_spark.operators.sampling import pack_sequences
@@ -1836,7 +1859,7 @@ def _q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     leakage-prevention property), pure codegen CASE, no shuffle."""
     from osm_conflate_spark.operators.sampling import split_assign_sql
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     return docs.selectExpr(
         "doc_id",
         f"{split_assign_sql('doc_id', _SPLIT_FRACS, 'spark')} AS split",
@@ -1868,7 +1891,7 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthetic_link_edges,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     edges = synthetic_link_edges(docs, _PR_DEGREE, _PR_MULT)
     ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMP)
     n_df = F.broadcast(docs.agg(F.count(F.lit(1)).alias("__n")))
@@ -1916,50 +1939,16 @@ def _pagerank_oracle_duck() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        name: _sql_query(name)
-        for name in [
-            "distance", "gc_distance", "way_length", "cell_index", "tiles_z12",
-            "bbox_extent", "ref_dedup", "action_counts", "dedup_exact",
-            "token_stats", "events_hourly", "tpch_q1", "top_customers",
-            "zorder_key", "geohash", "latest_by_key", "url_normalize",
-            "hopping_counts", "rolling_stats", "tile_hotspots",
-            "funnel_steps", "lang_source_matrix",
-        ]
-    }
+    # ENTRY ORDER IS DELIBERATE (round-5 verdict "Next round #1"): the
+    # driver's correctness gate hashes the FIRST 50 dict entries, and
+    # round 5's insertion order left 26 contract queries permanently
+    # outside that window — including queries never driver-re-verified
+    # after earlier fixes.  Those 26 now come FIRST; the long-green §3
+    # staples (distance, cell_index, bbox_extent, ...) move to the tail.
+    # Same names, same callables, same oracle SQL — only dict order.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     q.update(
-        tag_filter=_q_tag_filter,
-        candidate_pairs=_q_candidate_pairs,
-        greedy_match=_q_greedy_match,
-        conflate_changes=_q_conflate_changes,
-        tag_merge=_q_tag_merge,
-        langid=_q_langid,
-        ngram_jaccard=_q_ngram_jaccard,
-        minhash_pairs=_q_minhash_pairs,
-        simhash_pairs=_q_simhash_pairs,
-        embedding_dup=_q_embedding_dup,
-        ann_topk=_q_ann_topk,
-        fingerprint=_q_fingerprint,
-        # round-3 scale-path contract rows
-        ngram_jaccard_capped=_q_ngram_jaccard_capped,
-        embedding_dup_srp=_q_embedding_dup_srp,
-        ann_topk_ivf=_q_ann_topk_ivf,
-        greedy_match_salted=_q_greedy_match_salted,
-        conflate_changes_dist=_q_conflate_changes_dist,
-        minhash_clusters=_q_minhash_clusters,
-        # round-3 widening: dedup keepers, quality filter, kNN spatial
-        # join, raster->vector tiles, sessionization
-        minhash_dedup_docs=_q_minhash_dedup_docs,
-        quality_filter=_q_quality_filter,
-        spatial_knn=_q_spatial_knn,
-        tile_polygons=_q_tile_polygons,
-        event_sessions=_q_event_sessions,
-        point_in_polygon=_q_point_in_polygon,
-        tile_pyramid=_q_tile_pyramid,
-        polygon_cover=_q_polygon_cover,
-        # round-4 widening: corpus repetition / exact-substring signals
-        word_repetition=_q_word_repetition,
-        dup_shingles=_q_dup_shingles,
+        # --- the 26 entries the round-5 driver window never saw -------
         dup_shingles_hot=_q_dup_shingles_hot,
         domain_stats=_q_domain_stats,
         domain_stats_psl=_q_domain_stats_psl,
@@ -1969,7 +1958,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         weighted_sample=_q_weighted_sample,
         pack_chunks=_q_pack_chunks,
         token_percentiles=_q_token_percentiles,
-        # round-5 widening: temporal joins Spark lacks as built-ins
         asof_join=_q_asof_join,
         bm25_topk=_q_bm25_topk,
         tfidf_terms=_q_tfidf_terms,
@@ -1984,10 +1972,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         json_props=_q_json_props,
         asof_tolerance=_q_asof_tolerance,
         interval_join=_q_interval_join,
-        # round-5 widening: link-graph ranking + corpus-split plumbing
         pagerank=_q_pagerank,
         train_split=_q_train_split,
         dedup_norm=_q_dedup_norm,
+        # --- driver-green in CORRECTNESS_r05 (rounds 1-5) -------------
+        tag_filter=_q_tag_filter,
+        candidate_pairs=_q_candidate_pairs,
+        greedy_match=_q_greedy_match,
+        conflate_changes=_q_conflate_changes,
+        tag_merge=_q_tag_merge,
+        langid=_q_langid,
+        ngram_jaccard=_q_ngram_jaccard,
+        minhash_pairs=_q_minhash_pairs,
+        simhash_pairs=_q_simhash_pairs,
+        embedding_dup=_q_embedding_dup,
+        ann_topk=_q_ann_topk,
+        fingerprint=_q_fingerprint,
+        ngram_jaccard_capped=_q_ngram_jaccard_capped,
+        embedding_dup_srp=_q_embedding_dup_srp,
+        ann_topk_ivf=_q_ann_topk_ivf,
+        greedy_match_salted=_q_greedy_match_salted,
+        conflate_changes_dist=_q_conflate_changes_dist,
+        minhash_clusters=_q_minhash_clusters,
+        minhash_dedup_docs=_q_minhash_dedup_docs,
+        quality_filter=_q_quality_filter,
+        spatial_knn=_q_spatial_knn,
+        tile_polygons=_q_tile_polygons,
+        event_sessions=_q_event_sessions,
+        point_in_polygon=_q_point_in_polygon,
+        tile_pyramid=_q_tile_pyramid,
+        polygon_cover=_q_polygon_cover,
+        word_repetition=_q_word_repetition,
+        dup_shingles=_q_dup_shingles,
+    )
+    q.update(
+        {
+            name: _sql_query(name)
+            for name in [
+                "distance", "gc_distance", "way_length", "cell_index",
+                "tiles_z12", "bbox_extent", "ref_dedup", "action_counts",
+                "dedup_exact", "token_stats", "events_hourly", "tpch_q1",
+                "top_customers", "zorder_key", "geohash", "latest_by_key",
+                "url_normalize", "hopping_counts", "rolling_stats",
+                "tile_hotspots", "funnel_steps", "lang_source_matrix",
+            ]
+        }
     )
     return q
 

@@ -143,4 +143,12 @@ def pagerank(
         )
         if (i + 1) % checkpoint_interval == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
+    # Materialize the final ranks, then release the per-call caches
+    # (round-5 ADVICE: repeated invocations in a long-lived session —
+    # the bench loop — otherwise accumulate cached nodes/ew blocks
+    # until storage evicts under pressure).  The eager checkpoint pins
+    # the result so unpersisting its inputs cannot trigger recompute.
+    ranks = ranks.localCheckpoint(eager=True)
+    nodes.unpersist()
+    ew.unpersist()
     return ranks

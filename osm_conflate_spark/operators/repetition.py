@@ -229,8 +229,14 @@ def segment_dedup(
     from the published description — suffix-array substring matching
     relaxed to fixed tiles so it stays a pure shuffle plan).
 
-    Returns ``doc_id, n_segs, n_kept, dedup_text`` (docs with zero
-    tokens are dropped — no segments exist to keep).
+    Returns ``doc_id, n_segs, n_kept, dedup_text``.  Dropped from the
+    output entirely (round-5 ADVICE, documented contract): docs with
+    zero tokens (no segments exist), AND docs whose EVERY segment
+    duplicates earlier corpus text — all their rows are filtered before
+    the reassembly groupBy, so a fully-duplicated doc vanishes rather
+    than appearing with ``n_kept=0``/empty ``dedup_text``.  The DuckDB
+    twin agrees; callers rebuilding a corpus from ``dedup_text`` must
+    treat absence as "fully removed".
 
     Plan (100 TB shape):
 
