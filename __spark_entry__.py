@@ -72,7 +72,7 @@ _OSM_PTS = (
 # cores idle.  _fan round-robins a few MB of raw rows once so that
 # compute runs at session parallelism; it is a no-op on inputs that
 # already scan wide (real corpora: many files / row groups).
-_FAT_TABLES = {"documents", "embeddings", "events", "orders", "supplier"}
+_FAT_TABLES = {"documents", "embeddings", "supplier"}
 
 
 def _fan(spark: SparkSession, df: DataFrame) -> DataFrame:
@@ -1745,12 +1745,17 @@ def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     the events JSON ``props`` column in codegen (get_json_object /
     json_extract — engine-specific expr, same semantics) and aggregate
     per event type — one scan, one map-side-combining shuffle."""
-    _register(spark, sf_dir)
-    return spark.sql(
-        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
-        "CAST(sum(CAST(get_json_object(props, '$.k') AS INT)) AS BIGINT) AS sum_k, "
-        "round(avg(CAST(get_json_object(props, '$.k') AS INT)), 6) AS avg_k "
-        "FROM events GROUP BY event_type"
+    # JSON parsing is heavy per row; events scans as ONE task on the
+    # single-row-group test input, so fan this query's scan explicitly
+    # (events stays unfanned in _register — the cheap window/agg queries
+    # over it measured faster without the extra round-robin exchange).
+    return _fan(spark, _read(spark, sf_dir, "events")).selectExpr(
+        "event_type",
+        "CAST(get_json_object(props, '$.k') AS INT) AS __k",
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__k").cast("bigint").alias("sum_k"),
+        F.round(F.avg("__k"), 6).alias("avg_k"),
     )
 
 
