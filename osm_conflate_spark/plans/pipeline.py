@@ -249,6 +249,14 @@ def build_session(
     return (
         b.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # guide §3.1/§9: allow shuffled-hash join where its size checks
+        # pass instead of always sort-merge — the candidate cell join
+        # sorts a 54M-row exploded side at 6M pages under SMJ; SHJ
+        # builds the smaller per-partition side and skips both sorts.
+        # Size guards (per-partition build < broadcast threshold x
+        # shuffle width) keep it safe at cluster scale, where AQE
+        # re-plans from runtime stats anyway.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # 64m measured best: at 6M rows a 512m threshold force-broadcasts a
         # ~240MB osm side and the cache-hostile 6M-entry hashmap probe LOSES
         # to sort-merge (382s vs 282s at local[8]); AQE re-plans from
