@@ -269,8 +269,15 @@ def segment_dedup(
         f"transform(sequence(0, CAST(ceil(size({tk}) / {seg_len}.0E0) AS INT) - 1), "
         f"i -> array_join(slice({tk}, i * {seg_len} + 1, {seg_len}), ' '))"
     )
+    # zero-token guard: replace(text,' ','') != '' is exactly
+    # size(filter(split(lower(text),' '), x -> x != '')) > 0 (split on
+    # single space — only spaces can yield empty tokens) but costs one
+    # cheap scan instead of a full tokenize; predicate pushdown drags
+    # this filter below the fan exchange into the single-task scan
+    # stage, where the tokenizing form serialized ~50k docs x split on
+    # one core (measured in the sf1.0 plan/wall)
     seg_rows = (
-        docs.where(F.expr(f"size({tk}) > 0"))
+        docs.where(F.expr(f"replace({text_col}, ' ', '') != ''"))
         .select(
             F.col(id_col).alias("doc_id"),
             F.expr(segs).alias("__segs"),

@@ -257,6 +257,19 @@ def build_session(
         # shuffle width) keep it safe at cluster scale, where AQE
         # re-plans from runtime stats anyway.
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # InferFiltersFromGenerate duplicates the generator expression
+        # of every outer=false explode into a Filter (size(e)>0 AND
+        # isnotnull(e)) that predicate pushdown then drags below the
+        # scan-side exchange — for the text operators the generator IS
+        # the expensive tokenize/shingle expression, so each row paid
+        # it 2-3x (and on the narrow scan stage at that; measured
+        # segment_dedup 5.5 s -> 2.3 s warm at sf1.0 without the rule).
+        # Result-neutral: explode of an empty/null array emits no rows
+        # with or without the inferred filter.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # 64m measured best: at 6M rows a 512m threshold force-broadcasts a
         # ~240MB osm side and the cache-hostile 6M-entry hashmap probe LOSES
         # to sort-merge (382s vs 282s at local[8]); AQE re-plans from
