@@ -555,16 +555,31 @@ FROM d WHERE d.k NOT IN (SELECT dk FROM matched)
 
 
 def _derived_points(spark: SparkSession, sf_dir: str):
+    # The consumers of these frames (candidate cell join, matcher,
+    # conflate pipeline) k-ring-explode and trig-derive per point BEFORE
+    # their first natural Exchange, so the narrow 1-2-task orders scan
+    # serializes that work — fan both frames (orders itself stays
+    # unfanned in _register: the cheap scalar queries over it measured
+    # faster without the extra exchange).
+    # The exchange must sit BELOW the lat/lon derivation (repartitioning
+    # the _DS_PTS projection would leave the trig in the scan task), so
+    # fan the bare key column and re-apply the identical coordinate
+    # expressions above it.
     _register(spark, sf_dir)
-    ds = spark.sql(_DS_PTS).selectExpr(
-        "CAST(k AS STRING) AS id", "lat", "lon",
+    base = _fan(spark, spark.sql("SELECT o_orderkey AS k FROM orders"))
+    ds = base.selectExpr(
+        "CAST(k AS STRING) AS id",
+        f"({_LAT}) + ({_DS_OFF_LAT}) AS lat".replace("o_orderkey", "k"),
+        f"({_LON}) + ({_DS_OFF_LON}) AS lon".replace("o_orderkey", "k"),
         "map('name', concat('P', CAST(k AS STRING))) AS tags",
         "CAST(NULL AS STRING) AS category", "CAST(NULL AS STRING) AS remarks",
         "CAST(k AS STRING) AS url",
     )
-    osm = spark.sql(_OSM_PTS).selectExpr(
+    osm = base.selectExpr(
         "'node' AS osm_type", "k AS osm_id", "CAST(1 AS INT) AS version",
-        "lat", "lon", "map('name', concat('P', CAST(k AS STRING))) AS tags",
+        f"({_LAT}) + ({_OFF_LAT}) AS lat".replace("o_orderkey", "k"),
+        f"({_LON}) + ({_OFF_LON}) AS lon".replace("o_orderkey", "k"),
+        "map('name', concat('P', CAST(k AS STRING))) AS tags",
     )
     return ds, osm
 
