@@ -270,11 +270,17 @@ def build_session(
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
-        # 64m measured best: at 6M rows a 512m threshold force-broadcasts a
-        # ~240MB osm side and the cache-hostile 6M-entry hashmap probe LOSES
-        # to sort-merge (382s vs 282s at local[8]); AQE re-plans from
-        # runtime stats on a real cluster anyway
-        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Back to Spark's default 10m (was 64m since round 2): with
+        # preferSortMergeJoin=false the alternative to a big broadcast is
+        # a shuffled-hash join, not a sort — and rebuilding a 1.5M-row
+        # (~100MB) HashedRelation per query invocation measured BOTH
+        # slower and wildly unstable under driver GC churn
+        # (candidate_pairs at sf1.0: 3.0-18.2 s under 64m vs 2.7-4.4 s
+        # under 10m; ngram/distance/minhash/tile_hotspots all equal or
+        # better, none worse).  Genuinely small sides (PSL rules, eval
+        # shingles, centroids, audit) still broadcast; explicit
+        # F.broadcast() hints are unaffected by the threshold.
+        .config("spark.sql.autoBroadcastJoinThreshold", "10m")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
