@@ -123,25 +123,45 @@ def build_changes(
         audit = spark_any.createDataFrame([], AUDIT_SCHEMA)
     audit = F.broadcast(normalize_audit(audit))
 
+    # Shared subframes: the four union branches each used to clone the
+    # full ds/osm subplans with branch-specific projections and inferred
+    # isnotnull filters, so Catalyst planned (and executed) the wide
+    # shuffles once PER BRANCH — no exchange reuse fired.  The two
+    # frames every branch pair shares (the ds-side left join below for
+    # modify+create, the unmatched-OSM frame for delete+retag) are
+    # truncated with a LAZY localCheckpoint instead: all consumers then
+    # reference one RDD, its stages run once, and nothing executes until
+    # the caller's first action (no caching across invocations — each
+    # build_changes call makes a fresh frame, freed by the session's
+    # unpersist sweep).
+    ds_p = ds.select(
+        F.col("id").alias("dataset_id"), "lat", "lon", "tags"
+    )
+    osm_p = osm_pk_df.select(
+        "osm_pk", "osm_type", "osm_id", "version", "lat", "lon", "tags"
+    )
+    # One shuffle of ds serves modify AND create: matched.dataset_id is
+    # unique and non-null (greedy 1:1) and matched.osm_pk is non-null,
+    # so LEFT-join + isNotNull == the old inner join and + isNull == the
+    # old left_anti, row for row.
+    dsj = ds_p.join(matched, "dataset_id", "left").localCheckpoint(eager=False)
+
     # --- matched -> modify -------------------------------------------------
     m = (
-        matched.join(
-            ds.select(
-                F.col("id").alias("dataset_id"),
-                F.col("lat").alias("ds_lat"),
-                F.col("lon").alias("ds_lon"),
-                F.col("tags").alias("ds_tags"),
-            ),
-            "dataset_id",
+        dsj.where(F.col("osm_pk").isNotNull())
+        .select(
+            "dataset_id", "osm_pk", "dist",
+            F.col("lat").alias("ds_lat"),
+            F.col("lon").alias("ds_lon"),
+            F.col("tags").alias("ds_tags"),
         )
-        .join(
-            osm_pk_df.select(
-                "osm_pk", "osm_type", "osm_id", "version",
-                F.col("lat").alias("osm_lat"),
-                F.col("lon").alias("osm_lon"),
-                F.col("tags").alias("osm_tags"),
-            ),
-            "osm_pk",
+        .join(osm_p, "osm_pk")
+        .select(
+            "dataset_id", "osm_pk", "dist", "ds_lat", "ds_lon", "ds_tags",
+            "osm_type", "osm_id", "version",
+            F.col("lat").alias("osm_lat"),
+            F.col("lon").alias("osm_lon"),
+            F.col("tags").alias("osm_tags"),
         )
         .join(
             audit.select("dataset_id", "move", "fix_lat", "fix_lon"),
@@ -184,26 +204,24 @@ def build_changes(
         )
     )
 
-    # --- unmatched dataset -> create (J4, left_anti) ------------------------
+    # --- unmatched dataset -> create (J4, via the shared left join) ---------
     create = (
-        ds.join(
-            matched.select(F.col("dataset_id").alias("id")), "id", "left_anti"
-        )
+        dsj.where(F.col("osm_pk").isNull())
         .select(
             F.lit("create").alias("action"),
             F.lit("node").alias("osm_type"),
             F.lit(None).cast("long").alias("osm_id"),
             F.lit(1).alias("version"),
             "lat", "lon",
-            stamped_tags_col("tags", cfg, "id").alias("tags"),
-            F.col("id").alias("dataset_id"),
+            stamped_tags_col("tags", cfg, "dataset_id").alias("tags"),
+            "dataset_id",
             F.lit(None).cast("double").alias("match_dist"),
         )
     )
 
     # --- unmatched OSM -> delete / retag (J5 + J6 keep) ----------------------
     un = (
-        osm_pk_df.join(matched.select("osm_pk"), "osm_pk", "left_anti")
+        osm_p.join(matched.select("osm_pk"), "osm_pk", "left_anti")
         .withColumn("ref_val", F.element_at(F.col("tags"), F.lit(cfg.ref_key)))
         .join(
             vicinity.select("osm_pk").withColumn("in_vicinity", F.lit(True)),
@@ -217,7 +235,7 @@ def build_changes(
         )
         .withColumn("in_vicinity", F.coalesce("in_vicinity", F.lit(False)))
         .withColumn("keep", F.coalesce("keep", F.lit(False)))
-    )
+    ).localCheckpoint(eager=False)
     has_ref = F.col("ref_val").isNotNull()
     delete = (
         un.where(has_ref & F.lit(cfg.delete_unmatched) & ~F.col("keep"))
